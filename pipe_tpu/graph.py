@@ -1,0 +1,134 @@
+"""Graph construction — Lines and Routes (reference ``line.go``).
+
+A :class:`Line` is the declarative form: allocator functions for one source,
+zero or more processors, and one sink, plus an optional shared mutable
+context. Binding a line (:func:`make_route`) runs the allocators in order,
+threading :class:`SignalProperties` source -> processors -> sink exactly as
+``line.go:62-90`` does, and wraps allocator failures with the stage name.
+
+Execution-mode selection mirrors ``line.go:92-104`` at one level up: lines
+with a mutable context form *sync groups* (one executor thread round-robins
+them, reference ``run.go:28-34``); immutable lines are *async* (own thread).
+On TPU the intra-line stage chain always fuses into one jitted computation —
+the Sync/Async fitting distinction of the reference collapses because there
+is no per-stage goroutine to connect.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+from pipe_tpu import mutable
+from pipe_tpu.components import (
+    Processor,
+    ProcessorAllocatorFunc,
+    Sink,
+    SinkAllocatorFunc,
+    Source,
+    SourceAllocatorFunc,
+)
+from pipe_tpu.errors import AllocationError
+from pipe_tpu.signal import SignalProperties
+
+
+@dataclasses.dataclass
+class Line:
+    """Sequence of DSP component allocators (``line.go:14-19``)."""
+
+    source: SourceAllocatorFunc
+    sink: SinkAllocatorFunc
+    processors: Sequence[ProcessorAllocatorFunc] = ()
+    context: mutable.Context = mutable.IMMUTABLE
+
+
+def Processors(*processors: ProcessorAllocatorFunc) -> List[ProcessorAllocatorFunc]:
+    """Helper for line literals (``pipe.go:367-370``)."""
+    return list(processors)
+
+
+@dataclasses.dataclass
+class Route:
+    """A bound line: allocated components ready to execute
+    (``line.go:44-49``)."""
+
+    context: mutable.Context
+    source: Source
+    processors: List[Processor]
+    sink: Sink
+
+    def components(self):
+        return [self.source, *self.processors, self.sink]
+
+    def prev_props(self, pos: int) -> SignalProperties:
+        """Output properties of the component preceding processor slot
+        ``pos`` (``line.go:120-126``) — used by live InsertProcessor."""
+        if pos == 0:
+            return self.source.output
+        return self.processors[pos - 1].output
+
+
+def component_context(line_ctx: mutable.Context) -> mutable.Context:
+    """Sync lines share the line context; async components each get a fresh
+    one (``line.go:160-165``)."""
+    if line_ctx.is_mutable():
+        return line_ctx
+    return mutable.mutable()
+
+
+def allocate_source(
+    alloc: SourceAllocatorFunc, ctx: mutable.Context, block_size: int
+) -> Source:
+    src = alloc(ctx, block_size)
+    src.context = ctx
+    return src
+
+
+def allocate_processor(
+    alloc: ProcessorAllocatorFunc,
+    ctx: mutable.Context,
+    block_size: int,
+    input_props: SignalProperties,
+) -> Processor:
+    proc = alloc(ctx, block_size, input_props)
+    proc.context = ctx
+    return proc
+
+
+def allocate_sink(
+    alloc: SinkAllocatorFunc,
+    ctx: mutable.Context,
+    block_size: int,
+    input_props: SignalProperties,
+) -> Sink:
+    sink = alloc(ctx, block_size, input_props)
+    sink.context = ctx
+    return sink
+
+
+def make_route(line: Line, block_size: int) -> Route:
+    """Run the allocators in order, threading signal properties
+    (``line.go:62-90``). Raises :class:`AllocationError` naming the stage."""
+    try:
+        source = allocate_source(line.source, component_context(line.context), block_size)
+    except Exception as e:
+        raise AllocationError(f"source: {e}") from e
+    props = source.output
+
+    processors: List[Processor] = []
+    for alloc in line.processors:
+        try:
+            proc = allocate_processor(
+                alloc, component_context(line.context), block_size, props
+            )
+        except Exception as e:
+            raise AllocationError(f"processor: {e}") from e
+        props = proc.output
+        processors.append(proc)
+
+    try:
+        sink = allocate_sink(line.sink, component_context(line.context), block_size, props)
+    except Exception as e:
+        raise AllocationError(f"sink: {e}") from e
+
+    return Route(context=line.context, source=source, processors=processors, sink=sink)

@@ -1,0 +1,219 @@
+"""Mutability — race-free, stream-ordered live mutation of running components.
+
+Re-creation of the reference's L1 (``mutable/mutable.go:10-122``,
+``mutable/pusher.go:5-57``) as a host-side control plane. The invariant the
+reference enforces with goroutine ownership — a mutation only ever executes
+inside the execution context that owns the component (``mutable/doc.go:4-7``)
+— holds here structurally: mutation functions run on the executor thread at a
+block boundary, never concurrently with the jitted block-step. Because traced
+parameters are jit *inputs*, applying a mutation never retraces.
+
+Semantics preserved from the reference:
+
+- A ``Context`` is an identity token; the zero/immutable context cannot be
+  mutated (``mutable.go:41-43`` panics; we raise).
+- ``Mutations`` is an ordered multimap context -> [fns]; ``apply_to`` runs the
+  fns for one context in push order, stops at the first error (leaving the
+  entry in place, as ``mutable.go:79-94`` does), and removes the entry on
+  success.
+- ``Pusher`` accumulates mutations per destination and delivers batches;
+  unknown contexts are a programming error (``pusher.go:41`` panics; we raise).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable, Dict, List, Optional
+
+MutatorFunc = Callable[[], None]  # raises on error
+
+
+class ImmutableContextError(RuntimeError):
+    """Raised when mutating the immutable context (reference panics,
+    ``mutable/mutable.go:41-43``)."""
+
+
+class UnknownContextError(KeyError):
+    """Raised when pushing a mutation for a context the pusher doesn't know
+    (reference panics, ``mutable/pusher.go:41``)."""
+
+
+class Context:
+    """Identity token for a mutable component (``mutable/mutable.go:12``).
+
+    Instances are compared by identity of their random id. The singleton
+    :data:`IMMUTABLE` plays the zero-value role.
+    """
+
+    __slots__ = ("_id",)
+
+    def __init__(self, _id: Optional[bytes] = None):
+        self._id = _id if _id is not None else os.urandom(16)
+
+    def is_mutable(self) -> bool:
+        return self._id != b"\x00" * 16
+
+    def mutate(self, fn: MutatorFunc) -> "Mutation":
+        if not self.is_mutable():
+            raise ImmutableContextError("mutate immutable context")
+        return Mutation(self, fn)
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Context) and self._id == other._id
+
+    def __hash__(self) -> int:
+        return hash(self._id)
+
+    def __repr__(self) -> str:
+        if not self.is_mutable():
+            return "Context(immutable)"
+        return f"Context({self._id.hex()[:8]})"
+
+
+IMMUTABLE = Context(b"\x00" * 16)
+
+
+def mutable() -> Context:
+    """New mutable context (``mutable.Mutable()``)."""
+    return Context()
+
+
+def immutable() -> Context:
+    """The immutable context (``mutable.Immutable()``)."""
+    return IMMUTABLE
+
+
+class Mutation:
+    """A mutator function bound to a context (``mutable/mutable.go:15-19``)."""
+
+    __slots__ = ("context", "_fn")
+
+    def __init__(self, context: Context, fn: MutatorFunc):
+        self.context = context
+        self._fn = fn
+
+    def apply(self) -> None:
+        self._fn()
+
+    def __repr__(self) -> str:
+        return f"Mutation({self.context!r})"
+
+
+class Mutations:
+    """Ordered multimap ``Context -> [MutatorFunc]``
+    (``mutable/mutable.go:22``). A fresh empty instance is falsy."""
+
+    __slots__ = ("_m",)
+
+    def __init__(self):
+        self._m: Dict[Context, List[MutatorFunc]] = {}
+
+    def put(self, m: Mutation) -> "Mutations":
+        """Add one mutation; no-op for the immutable context
+        (``mutable.go:61-76``)."""
+        if not m.context.is_mutable():
+            return self
+        self._m.setdefault(m.context, []).append(m._fn)
+        return self
+
+    def apply_to(self, ctx: Context) -> None:
+        """Run all mutators for ``ctx`` in push order. On an exception the
+        entry stays (matching ``mutable.go:79-94``: error returns before the
+        delete); on success it is removed."""
+        if ctx not in self._m or not ctx.is_mutable():
+            return
+        for fn in self._m[ctx]:
+            fn()  # raises through, leaving the entry in place
+        del self._m[ctx]
+
+    def append(self, other: Optional["Mutations"]) -> "Mutations":
+        """Merge another set into this one, preserving per-context order
+        (``mutable.go:97-109``)."""
+        if other is None:
+            return self
+        for ctx, fns in other._m.items():
+            self._m.setdefault(ctx, []).extend(fns)
+        return self
+
+    def detach(self, ctx: Context) -> Optional["Mutations"]:
+        """Remove and return the mutations for one context
+        (``mutable.go:112-122``)."""
+        if ctx not in self._m:
+            return None
+        d = Mutations()
+        d._m[ctx] = self._m.pop(ctx)
+        return d
+
+    def contexts(self):
+        return list(self._m.keys())
+
+    def __bool__(self) -> bool:
+        return bool(self._m)
+
+    def __len__(self) -> int:
+        return sum(len(v) for v in self._m.values())
+
+
+class Destination:
+    """Per-executor mutation mailbox.
+
+    The reference uses a cap-1 channel (``pusher.go:29-31``) polled
+    non-blockingly by the source each buffer (``pipe.go:382-392``). Here the
+    mailbox merges pending batches under a lock and the executor thread swaps
+    the whole batch out at each block boundary — same delivery point, no drops,
+    no blocking.
+    """
+
+    __slots__ = ("_lock", "_pending")
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._pending: Optional[Mutations] = None
+
+    def put(self, ms: Mutations) -> None:
+        with self._lock:
+            if self._pending is None:
+                self._pending = Mutations().append(ms)
+            else:
+                self._pending.append(ms)
+
+    def take(self) -> Optional[Mutations]:
+        """Non-blocking poll: returns and clears the pending batch."""
+        with self._lock:
+            ms, self._pending = self._pending, None
+            return ms
+
+
+def new_destination() -> Destination:
+    return Destination()
+
+
+class Pusher:
+    """Routes mutations to the destination owning each context
+    (``mutable/pusher.go:5-57``)."""
+
+    def __init__(self):
+        self._destinations: Dict[Context, Destination] = {}
+        self._staged: Dict[Destination, Mutations] = {}
+
+    def add_destination(self, ctx: Context, dest: Destination) -> None:
+        self._destinations[ctx] = dest
+
+    def has_destination(self, ctx: Context) -> bool:
+        return ctx in self._destinations
+
+    def put(self, *mutations: Mutation) -> None:
+        """Stage mutations; raises on unknown context (``pusher.go:41``)."""
+        for m in mutations:
+            dest = self._destinations.get(m.context)
+            if dest is None:
+                raise UnknownContextError(f"unknown mutable context {m.context!r}")
+            self._staged.setdefault(dest, Mutations()).put(m)
+
+    def push(self) -> None:
+        """Deliver all staged batches to their destinations."""
+        staged, self._staged = self._staged, {}
+        for dest, ms in staged.items():
+            if ms:
+                dest.put(ms)

@@ -1,0 +1,68 @@
+"""Blocking drivers (reference ``run.go:198-224`` and ``pipe.Run``,
+``pipe.go:89-103``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pipe_tpu import mutable
+from pipe_tpu.errors import ErrorRun, RunError, StartError
+from pipe_tpu.graph import Line, make_route
+from pipe_tpu.runtime.executor import EOF, LineExecutor, MultiLineExecutor
+
+
+def run_executor(executor, cancel=None) -> None:
+    """Run an executor to completion in the calling thread (``run.go:198-224``):
+    start; loop execute until EOF/error; always flush; wrap exec+flush failures
+    into :class:`ErrorRun`."""
+    try:
+        executor.start_hook()
+    except Exception as e:  # noqa: BLE001
+        if isinstance(e, StartError):
+            raise
+        err = StartError(f"error starting: {e}")
+        err.__cause__ = e
+        raise err from e
+
+    err_exec: Optional[BaseException] = None
+    try:
+        while True:
+            if cancel is not None and cancel.is_set():
+                break
+            if executor.dest is not None:
+                ms = executor.dest.take()
+                if ms:
+                    executor.apply_mutations(ms)
+            res = executor.execute()
+            if res is EOF:
+                break
+    except Exception as e:  # noqa: BLE001
+        err_exec = RunError(f"error running: {e}")
+        err_exec.__cause__ = e
+
+    err_flush: Optional[BaseException] = None
+    try:
+        executor.flush_hook()
+    except Exception as e:  # noqa: BLE001
+        err_flush = e
+
+    if err_exec is not None or err_flush is not None:
+        raise ErrorRun(err_exec, err_flush)
+
+
+def run(block_size: int, *lines: Line) -> None:
+    """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
+    every line is forced into one shared mutable context and round-robined by
+    a single :class:`MultiLineExecutor` in the calling thread."""
+    mctx = mutable.mutable()
+    mle = MultiLineExecutor(context=mctx)
+    for line in lines:
+        bound = Line(
+            source=line.source,
+            processors=line.processors,
+            sink=line.sink,
+            context=mctx,
+        )
+        route = make_route(bound, block_size)  # raises AllocationError
+        mle.executors.append(LineExecutor(route, block_size))
+    run_executor(mle)

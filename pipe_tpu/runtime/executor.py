@@ -1,0 +1,302 @@
+"""Executors — the per-block hot path.
+
+The reference executes one buffer per component per sweep, with goroutines
+and channels between stages (``run.go:38-52``, ``pipe.go:381-471``). Here the
+whole ``Source -> Processors -> Sink`` sweep for one block is ONE jitted XLA
+computation built by :meth:`LineExecutor._build_step`: XLA fuses the stage
+chain, so the inter-stage "transport" is HBM/VMEM dataflow, not channels.
+
+EOF protocol: the source step returns a traced ``eof`` bool. The executor
+gates every component's state update on ``not eof`` inside the jitted step
+(so a traced-past-EOF block is a no-op) and reads the flag back on the host
+to terminate the stream — the analog of ``io.EOF`` propagating through the
+line sweep (``run.go:44-47``).
+
+:class:`MultiLineExecutor` round-robins several line executors in one driver
+thread, flushing and splicing out lines as they hit EOF, exactly as the
+reference's sync mode does (``run.go:113-132``).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pipe_tpu import mutable
+from pipe_tpu.errors import FlushError, StartError, ret_exec_errors
+from pipe_tpu.graph import Route
+from pipe_tpu.signal import Signal
+
+
+class _EOF:
+    """Sentinel returned by ``execute`` when the stream is done."""
+
+    def __repr__(self):
+        return "EOF"
+
+
+EOF = _EOF()
+
+
+def _gate(valid, new_tree, old_tree):
+    """Select ``new_tree`` where ``valid`` else ``old_tree`` leafwise —
+    the structural guard that nothing advances past EOF."""
+    return jax.tree.map(lambda n, o: jnp.where(valid, n, o), new_tree, old_tree)
+
+
+class LineExecutor:
+    """Executes one bound line, one block per :meth:`execute` call.
+
+    Keeps the live component states (device pytrees) and host-owned params;
+    rebuilds + recompiles its fused step when the route changes (live
+    InsertProcessor) — the recompile happens at a block boundary so no sample
+    is lost or duplicated.
+    """
+
+    def __init__(self, route: Route, block_size: int):
+        self.route = route
+        self.block_size = block_size
+        self.started = 0  # how many components started, for rollback flush
+        self._step = None  # compiled step, built lazily
+        self._zero_feed: Optional[np.ndarray] = None
+        # Destination assigned by the runtime for async lines (the sync-group
+        # destination lives on the MultiLineExecutor).
+        self.dest: Optional[mutable.Destination] = None
+
+    # -- step construction ------------------------------------------------
+
+    def _invalidate(self):
+        self._step = None
+
+    def _build_step(self):
+        src = self.route.source
+        procs = list(self.route.processors)
+        sink = self.route.sink
+        has_feed = src.feed is not None
+        want_out = sink.receive is not None
+        has_dev_sink = sink.step is not None
+        block = self.block_size
+
+        def step(states, params, fed: Optional[Signal]):
+            src_state, proc_states, sink_state = states
+            src_params, proc_params, sink_params = params
+
+            if has_feed:
+                sig = fed
+                eof = jnp.asarray(False)
+            else:
+                new_src_state, sig, eof = src.step(src_state, src_params)
+                eof = jnp.asarray(eof, bool)
+                src_state = _gate(~eof, new_src_state, src_state)
+
+            valid = ~eof
+            new_proc_states = []
+            for proc, pstate, pparams in zip(procs, proc_states, proc_params):
+                new_pstate, sig = proc.step(pstate, pparams, sig)
+                new_proc_states.append(_gate(valid, new_pstate, pstate))
+
+            if has_dev_sink:
+                new_sink_state = sink.step(sink_state, sink_params, sig)
+                sink_state = _gate(valid, new_sink_state, sink_state)
+
+            out = sig if want_out else None
+            return (src_state, tuple(new_proc_states), sink_state), out, eof
+
+        donate = () if has_feed else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    def _states(self):
+        return (
+            self.route.source.state,
+            tuple(p.state for p in self.route.processors),
+            self.route.sink.state,
+        )
+
+    def _params(self):
+        return (
+            self.route.source.params,
+            tuple(p.params for p in self.route.processors),
+            self.route.sink.params,
+        )
+
+    def _writeback(self, states):
+        src_state, proc_states, sink_state = states
+        self.route.source.state = src_state
+        for p, s in zip(self.route.processors, proc_states):
+            p.state = s
+        self.route.sink.state = sink_state
+
+    # -- hot path ----------------------------------------------------------
+
+    def execute(self):
+        """Run one block through the line. Returns :data:`EOF` when the
+        stream is done, else None. Raises on component failure."""
+        src = self.route.source
+        sink = self.route.sink
+
+        # Host-side pre hooks in stage order (fault injection, pacing).
+        for comp in self.route.components():
+            if comp.host_pre is not None:
+                comp.host_pre()
+
+        fed = None
+        fed_frames = 0
+        if src.feed is not None:
+            data = src.feed(self.block_size)
+            if data is None:
+                return EOF
+            data = np.asarray(data)
+            if data.ndim == 1:
+                data = data[None, :]
+            fed_frames = data.shape[1]
+            if fed_frames < self.block_size:
+                pad = np.zeros(
+                    (data.shape[0], self.block_size - fed_frames), dtype=data.dtype
+                )
+                data = np.concatenate([data, pad], axis=1)
+            fed = Signal(
+                jnp.asarray(data, jnp.float32), jnp.asarray(fed_frames, jnp.int32)
+            )
+
+        if self._step is None:
+            self._step = self._build_step()
+
+        states, out, eof = self._step(self._states(), self._params(), fed)
+        self._writeback(states)
+
+        is_eof = bool(eof)
+        if not is_eof and sink.receive is not None and out is not None:
+            frames = int(out.frames)
+            if frames > 0 or src.feed is not None:
+                sink.receive(np.asarray(out.data)[:, :frames])
+        if is_eof:
+            return EOF
+        return None
+
+    # -- lifecycle (reference run.go:54-74) --------------------------------
+
+    def start_hook(self):
+        """Start components in order; stop at the first failure, remembering
+        how many started so only those get flushed (``run.go:64-74``)."""
+        for comp in self.route.components():
+            if comp.start is not None:
+                comp.start()  # raises -> caller handles rollback
+            self.started += 1
+
+    def flush_hook(self):
+        """Flush the started components in order, collecting every error
+        (``run.go:54-62``)."""
+        errors = []
+        for comp in self.route.components()[: self.started]:
+            if comp.flush is not None:
+                try:
+                    comp.flush()
+                except Exception as e:  # noqa: BLE001 - fan-in semantics
+                    errors.append(e)
+        # Reset for restart (a Pipe can be started again after completion,
+        # reference pipe_test.go:108-131) and to make double-flush a no-op.
+        self.started = 0
+        err = ret_exec_errors(errors)
+        if err is not None:
+            raise FlushError(str(err)) from err
+
+    # -- live surgery -------------------------------------------------------
+
+    def insert_processor(self, pos: int, proc) -> None:
+        """Splice a started processor into the route at ``pos`` and recompile
+        at the next block boundary (the TPU-native form of the reference's
+        two-phase handoff, ``pipe.go:297-365`` / ``run.go:146-169``)."""
+        self.route.processors.insert(pos, proc)
+        self.started += 1
+        self._invalidate()
+
+    def apply_mutations(self, ms: mutable.Mutations) -> None:
+        """Apply a delivered batch to this line's components in stage order
+        (the reference applies in-band per stage, ``pipe.go:384-392,433,465``;
+        block-boundary application is the same ordering at our buffer
+        granularity)."""
+        seen = set()
+        for comp in self.route.components():
+            if comp.context in seen:
+                continue
+            seen.add(comp.context)
+            ms.apply_to(comp.context)
+
+
+class MultiLineExecutor:
+    """Round-robins multiple line executors in one driver thread
+    (``run.go:28-34,113-132``). All lines share one mutable context and one
+    mutation destination."""
+
+    def __init__(
+        self,
+        context: mutable.Context = mutable.IMMUTABLE,
+        dest: Optional[mutable.Destination] = None,
+        executors: Optional[List[LineExecutor]] = None,
+    ):
+        self.context = context
+        self.dest = dest
+        self.executors: List[LineExecutor] = executors or []
+
+    def start_hook(self):
+        """Start every line; on failure flush everything already started and
+        raise (``run.go:78-99``)."""
+        start_err = None
+        for le in self.executors:
+            try:
+                le.start_hook()
+            except Exception as e:  # noqa: BLE001
+                start_err = e
+                break
+        if start_err is None:
+            return
+        err = StartError(f"error starting lines: {start_err}")
+        err.__cause__ = start_err
+        try:
+            self.flush_hook()
+        except Exception as flush_err:  # noqa: BLE001
+            err = StartError(
+                f"error flushing lines: {flush_err} during start error: {start_err}"
+            )
+            err.__cause__ = flush_err
+        raise err
+
+    def flush_hook(self):
+        errors = []
+        for le in self.executors:
+            try:
+                le.flush_hook()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+        err = ret_exec_errors(errors)
+        if err is not None:
+            raise err
+
+    def execute(self):
+        """One sweep over all live lines; EOF'd lines are flushed and spliced
+        out; returns EOF once no lines remain (``run.go:113-132``)."""
+        i = 0
+        while i < len(self.executors):
+            res = self.executors[i].execute()  # raises on error
+            if res is EOF:
+                self.executors[i].flush_hook()  # raises -> becomes the error
+                del self.executors[i]
+                if self.executors:
+                    continue
+                return EOF
+            i += 1
+        return None
+
+    def apply_mutations(self, ms: mutable.Mutations) -> None:
+        for le in self.executors:
+            le.apply_mutations(ms)
+
+    def adopt_line(self, le: LineExecutor) -> None:
+        """Start and append a new line at a block boundary (the analog of
+        ``multiLineExecutor.addRoute``, ``run.go:134-144``)."""
+        le.start_hook()  # raises -> delivered as executor error
+        self.executors.append(le)

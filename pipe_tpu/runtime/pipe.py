@@ -1,0 +1,370 @@
+"""The Pipe — async lifecycle, mutation push, live graph surgery.
+
+Maps the reference's goroutine topology (``pipe.go:105-365``) onto host
+threads around jitted block-steps:
+
+- every *async* line gets one executor thread (the reference's
+  goroutine-per-component collapses into the line's fused step);
+- *sync* lines sharing a mutable context are round-robined by one
+  :class:`MultiLineExecutor` thread (``pipe.go:152-170``);
+- a control thread owns the runtime registry and routes pushed mutations,
+  applying pipe-context mutations itself — the exact split of
+  ``pipe.go:216-241``;
+- an error merger keeps the first error and cancels everything else
+  (``merger.go:8-58`` + ``pipe.go:230-239``), with flush guaranteed for every
+  started component.
+
+Live surgery keeps the reference's guarantee — applied at a block boundary,
+no sample lost — via a two-phase handoff: allocate in the control thread,
+then deliver an adoption mutation to the owning executor thread, which
+splices the component in and recompiles its fused step between blocks
+(``pipe.go:259-365``, ``run.go:134-169``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+from pipe_tpu import mutable
+from pipe_tpu.errors import FlushError, RunError, StartError
+from pipe_tpu.graph import (
+    Line,
+    Route,
+    allocate_processor,
+    component_context,
+    make_route,
+)
+from pipe_tpu.runtime.executor import EOF, LineExecutor, MultiLineExecutor
+
+
+class _Merger:
+    """First-error-wins fan-in (``merger.go:8-58``): extra errors are
+    dropped, the first one cancels the run."""
+
+    def __init__(self, cancel: threading.Event):
+        self._lock = threading.Lock()
+        self._cancel = cancel
+        self.first_error: Optional[BaseException] = None
+        self.threads: List[threading.Thread] = []
+
+    def report(self, err: BaseException) -> None:
+        with self._lock:
+            if self.first_error is None:
+                self.first_error = err
+        self._cancel.set()
+
+    def add(self, target, name: str) -> None:
+        t = threading.Thread(target=target, name=name, daemon=True)
+        self.threads.append(t)
+        t.start()
+
+    def join(self) -> None:
+        # Threads may be appended while joining (live AddLine), so loop.
+        while True:
+            with self._lock:
+                pending = [t for t in self.threads if t.is_alive()]
+            if not pending:
+                return
+            for t in pending:
+                t.join()
+
+
+class _Handle:
+    """Completion handle for live surgery (the analog of the reference's
+    done-channel, ``pipe.go:264,279``). ``error`` is set instead of the event
+    if the operation failed — an improvement over the reference, which
+    silently swallows surgery errors (``Mutation.Apply`` discards them,
+    ``mutable/mutable.go:56-58``)."""
+
+    def __init__(self):
+        self._event = threading.Event()
+        self.error: Optional[BaseException] = None
+
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        return self._event.wait(timeout)
+
+    def _set(self):
+        self._event.set()
+
+    def _fail(self, err: BaseException):
+        self.error = err
+        self._event.set()
+
+
+class Pipe:
+    """A graph of bound lines (``pipe.go:14-30,105-126``)."""
+
+    def __init__(self, block_size: int, *lines: Line):
+        if not lines:
+            raise ValueError("pipe without lines")
+        self.block_size = block_size
+        self.mctx = mutable.mutable()  # the pipe's own control context
+        self.pusher = mutable.Pusher()
+        self.routes: List[Route] = []
+        # sync groups keyed by shared line context; async executors by route id
+        self._groups: Dict[mutable.Context, MultiLineExecutor] = {}
+        self._executors: List = []  # all top-level executors, in launch order
+        self._exec_of_route: Dict[int, LineExecutor] = {}
+
+        for line in lines:
+            route = make_route(line, block_size)  # raises AllocationError
+            self._register_route(route)
+
+        self._merger: Optional[_Merger] = None
+        self._cancel = threading.Event()
+        self._mutations_q: "queue.Queue" = queue.Queue()
+        self._control: Optional[threading.Thread] = None
+        self._running = False
+
+    # -- registry (reference pipe.go:128-194) ------------------------------
+
+    def _register_route(self, route: Route) -> LineExecutor:
+        idx = len(self.routes)
+        self.routes.append(route)
+        le = LineExecutor(route, self.block_size)
+        self._exec_of_route[idx] = le
+
+        if route.context.is_mutable():
+            # sync: group lines sharing a context under one executor thread
+            group = self._groups.get(route.context)
+            if group is None:
+                dest = mutable.new_destination()
+                group = MultiLineExecutor(context=route.context, dest=dest)
+                self._groups[route.context] = group
+                self._executors.append(group)
+                self.pusher.add_destination(route.context, dest)
+            group.executors.append(le)
+        else:
+            # async: one executor (thread) for the whole line; every
+            # component context routes to the line's destination — the same
+            # routing trick as the reference (pipe.go:172-184).
+            dest = mutable.new_destination()
+            le.dest = dest
+            self._executors.append(le)
+            for comp in route.components():
+                self.pusher.add_destination(comp.context, dest)
+        return le
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self, *initializers: mutable.Mutation) -> "Pipe":
+        """Start all executors (``pipe.go:196-214``). Initializer mutations
+        are delivered before the first block."""
+        if self._running:
+            raise RuntimeError("pipe already running")
+        self._cancel = threading.Event()
+        self._merger = _Merger(self._cancel)
+        self._running = True
+
+        if initializers:
+            self.pusher.put(*initializers)
+        self.pusher.push()
+
+        for e in self._executors:
+            self._launch(e)
+
+        self._control = threading.Thread(
+            target=self._control_loop, name="pipe-control", daemon=True
+        )
+        self._control.start()
+        return self
+
+    def _launch(self, executor) -> None:
+        self._merger.add(lambda: self._run_executor(executor), name="pipe-exec")
+
+    def _run_executor(self, executor) -> None:
+        """Per-executor thread body (``run.go:171-196``): start (no flush on
+        start failure for async executors — the reference defers flush only
+        after a successful start), execute until EOF/cancel/error, always
+        flush, report first error."""
+        try:
+            executor.start_hook()
+        except Exception as e:  # noqa: BLE001
+            if isinstance(e, StartError):
+                self._merger.report(e)
+            else:
+                err = StartError(f"error starting: {e}")
+                err.__cause__ = e
+                self._merger.report(err)
+            return
+
+        err_exec: Optional[BaseException] = None
+        try:
+            while not self._cancel.is_set():
+                dest = executor.dest
+                if dest is not None:
+                    ms = dest.take()
+                    if ms:
+                        executor.apply_mutations(ms)
+                if executor.execute() is EOF:
+                    break
+        except Exception as e:  # noqa: BLE001
+            err_exec = RunError(f"error running: {e}")
+            err_exec.__cause__ = e
+
+        if err_exec is not None:
+            self._merger.report(err_exec)
+        try:
+            executor.flush_hook()
+        except Exception as e:  # noqa: BLE001
+            if isinstance(e, FlushError):
+                self._merger.report(e)
+            else:
+                err = FlushError(f"error flushing: {e}")
+                err.__cause__ = e
+                self._merger.report(err)
+
+    def _control_loop(self) -> None:
+        """Apply pipe-context mutations, forward the rest
+        (``pipe.go:216-241``)."""
+        while True:
+            try:
+                ms = self._mutations_q.get(timeout=0.05)
+            except queue.Empty:
+                if self._all_executors_done():
+                    return
+                continue
+            if ms is None:
+                return
+            for m in ms:
+                if m.context == self.mctx:
+                    try:
+                        m.apply()
+                    except Exception as e:  # noqa: BLE001
+                        # The reference silently drops surgery errors
+                        # (Apply discards them); we at least surface them
+                        # through handles — see _Handle.
+                        _ = e
+                else:
+                    try:
+                        self.pusher.put(m)
+                    except mutable.UnknownContextError as e:
+                        self._merger.report(e)
+                        continue
+            self.pusher.push()
+
+    def _all_executors_done(self) -> bool:
+        m = self._merger
+        if m is None:
+            return True
+        with m._lock:
+            return all(not t.is_alive() for t in m.threads)
+
+    def push(self, *mutations: mutable.Mutation) -> None:
+        """Queue mutations for delivery (``pipe.go:243-247``). They land at a
+        block boundary of the owning executor, in push order."""
+        if not self._running:
+            raise RuntimeError("pipe isn't running")
+        self._mutations_q.put(list(mutations))
+
+    def wait(self, timeout: Optional[float] = None) -> None:
+        """Block until all executors finish; raise the first error
+        (``pipe.go:249-257``)."""
+        if not self._running:
+            return
+        self._merger.join()
+        self._mutations_q.put(None)
+        self._control.join(timeout)
+        self._running = False
+        if self._merger.first_error is not None:
+            raise self._merger.first_error
+
+    # -- live surgery (reference pipe.go:259-365) ---------------------------
+
+    def add_line(self, line: Line) -> _Handle:
+        """Grow the graph while running (``pipe.go:259-295``). Returns a
+        handle completed once the line is live."""
+        if not self._running:
+            raise RuntimeError("pipe isn't running")
+        handle = _Handle()
+
+        def mutation():
+            try:
+                route = make_route(line, self.block_size)
+            except Exception as e:  # noqa: BLE001
+                handle._fail(e)
+                return
+
+            if not route.context.is_mutable():
+                le = self._register_route(route)
+                self._launch(le)
+                handle._set()
+                return
+
+            existing = self._groups.get(route.context)
+            if existing is not None:
+                # adopt into the running group at its next block boundary
+                idx = len(self.routes)
+                self.routes.append(route)
+                le = LineExecutor(route, self.block_size)
+                self._exec_of_route[idx] = le
+
+                def adopt():
+                    existing.adopt_line(le)
+                    handle._set()
+
+                self.pusher.put(route.context.mutate(adopt))
+                return
+
+            le = self._register_route(route)
+            self._launch(self._groups[route.context])
+            handle._set()
+
+        self.push(self.mctx.mutate(mutation))
+        return handle
+
+    def insert_processor(self, line: int, pos: int, proc_alloc) -> _Handle:
+        """Splice a processor into a running line at ``pos``
+        (``pipe.go:297-365``). Allocation happens in the control thread; the
+        owning executor adopts it at its next block boundary (recompiling the
+        fused step), so no sample is lost or duplicated."""
+        if not self._running:
+            raise RuntimeError("pipe isn't running")
+        handle = _Handle()
+
+        def mutation():
+            route = self.routes[line]
+            le = self._exec_of_route[line]
+            try:
+                prev_props = route.prev_props(pos)
+                ctx = component_context(route.context)
+                proc = allocate_processor(proc_alloc, ctx, self.block_size, prev_props)
+            except Exception as e:  # noqa: BLE001
+                handle._fail(e)
+                return
+
+            def adopt():
+                try:
+                    if proc.start is not None:
+                        proc.start()
+                except Exception as e:  # noqa: BLE001
+                    handle._fail(e)
+                    raise
+                le.insert_processor(pos, proc)
+                handle._set()
+
+            if route.context.is_mutable():
+                # sync group: deliver to the group's destination
+                self.pusher.put(route.context.mutate(adopt))
+            else:
+                # async line: register the new context, deliver to the line
+                self.pusher.add_destination(ctx, le.dest)
+                anchor = (
+                    route.processors[pos].context
+                    if pos < len(route.processors)
+                    else route.sink.context
+                )
+                self.pusher.put(anchor.mutate(adopt))
+
+        self.push(self.mctx.mutate(mutation))
+        return handle
+
+
+def wait(pipe: Pipe, timeout: Optional[float] = None) -> None:
+    """Module-level convenience mirroring ``pipe.Wait`` (``pipe.go:249-257``)."""
+    pipe.wait(timeout)

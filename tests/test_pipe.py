@@ -1,0 +1,302 @@
+"""Async Pipe integration tests — start/wait, restart with initializers,
+sync groups, mutation push, live surgery (``pipe_test.go:82-189,461-639``)."""
+
+import numpy as np
+import pytest
+
+import pipe_tpu
+from pipe_tpu import mock, mutable
+from pipe_tpu.errors import PipeError
+
+BLOCK = 512
+N_BLOCKS = 862  # pipe_test.go:84 — 862 x 512-frame buffers
+
+
+def wait_pipe(p, timeout, *inits):
+    """The reference's waitPipe harness (pipe_test.go:641-653): start, wait
+    with a deadline, fail on timeout or error."""
+    p.start(*inits)
+    import threading
+
+    err = []
+    done = threading.Event()
+
+    def waiter():
+        try:
+            p.wait()
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+        done.set()
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    if not done.wait(timeout):
+        raise AssertionError("pipe timeout reached")
+    if err:
+        raise err[0]
+
+
+def test_simple_pipe(pipe_timeout):
+    """pipe_test.go:82-106: 862 x 512 x 2ch, exact counts."""
+    source = mock.Source(limit=N_BLOCKS * BLOCK, channels=2)
+    proc = mock.Processor()
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=source.source(),
+            processors=pipe_tpu.Processors(proc.processor()),
+            sink=sink.sink(),
+        ),
+    )
+    wait_pipe(p, pipe_timeout)
+    assert source.messages == N_BLOCKS
+    assert source.samples == N_BLOCKS * BLOCK
+    assert sink.messages == N_BLOCKS
+    assert sink.samples == N_BLOCKS * BLOCK
+
+
+def test_no_lines_raises():
+    with pytest.raises(ValueError):
+        pipe_tpu.Pipe(BLOCK)
+
+
+def test_reset_restart(pipe_timeout):
+    """pipe_test.go:108-131: a completed pipe restarts; an initializer
+    mutation resets the source so it produces again."""
+    source = mock.Source(limit=100 * BLOCK, channels=2)
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=source.source(), sink=sink.sink()),
+    )
+    wait_pipe(p, pipe_timeout)
+    assert source.messages == 100
+    assert source.samples == 100 * BLOCK
+
+    wait_pipe(p, pipe_timeout, source.reset())
+    assert sink.messages == 2 * 100
+    assert sink.samples == 2 * 100 * BLOCK
+
+
+def test_sync_line(pipe_timeout):
+    """pipe_test.go:133-155: a line with a mutable context runs in sync mode."""
+    source = mock.Source(limit=100 * BLOCK, channels=2)
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=source.source(),
+            sink=sink.sink(),
+            context=mutable.mutable(),
+        ),
+    )
+    wait_pipe(p, pipe_timeout)
+    assert source.messages == 100
+    assert source.samples == 100 * BLOCK
+
+
+def test_multiple_lines_shared_context(pipe_timeout):
+    """pipe_test.go:156-189: two lines share one mutable context (one sync
+    group)."""
+    source1 = mock.Source(limit=100 * BLOCK, channels=2)
+    sink1 = mock.Sink(discard=True)
+    source2 = mock.Source(limit=100 * BLOCK, channels=2)
+    sink2 = mock.Sink(discard=True)
+    mctx = mutable.mutable()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=source1.source(), sink=sink1.sink(), context=mctx),
+        pipe_tpu.Line(source=source2.source(), sink=sink2.sink(), context=mctx),
+    )
+    wait_pipe(p, pipe_timeout)
+    for s in (source1, source2):
+        assert s.messages == 100
+        assert s.samples == 100 * BLOCK
+
+
+def test_push_mutation_mid_stream(pipe_timeout):
+    """Parameter push lands mid-stream at a block boundary and changes the
+    produced values (the 'no retrace' path, SURVEY.md §3.3)."""
+    total = 400
+    source = mock.Source(value=1.0, channels=1, limit=total, interval=0.002)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        4,
+        pipe_tpu.Line(source=source.source(), sink=sink.sink()),
+    )
+    p.start()
+    import time
+
+    time.sleep(0.1)
+    p.push(source.set_value(2.0))
+    p.wait()
+    vals = sink.values
+    assert vals.shape == (1, total)
+    first, last = vals[0, 0], vals[0, -1]
+    assert first == 1.0
+    assert last == 2.0
+    # the switch is a single clean boundary
+    diffs = np.flatnonzero(np.diff(vals[0]))
+    assert len(diffs) == 1
+
+
+def test_mock_mutation_spy_via_push(pipe_timeout):
+    source = mock.Source(value=1.0, channels=1, limit=2000, interval=0.001)
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        4, pipe_tpu.Line(source=source.source(), sink=sink.sink())
+    )
+    p.start()
+    p.push(source.mock_mutation())
+    p.wait()
+    assert source.mutated
+
+
+def test_start_error_async(pipe_timeout):
+    source = mock.Source(limit=100, channels=1, error_on_start=RuntimeError("boom"))
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(4, pipe_tpu.Line(source=source.source(), sink=sink.sink()))
+    with pytest.raises(PipeError):
+        wait_pipe(p, pipe_timeout)
+
+
+def test_runtime_error_async_flushes(pipe_timeout):
+    source = mock.Source(limit=100, channels=1)
+    proc = mock.Processor(error_on_call=RuntimeError("boom"))
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        4,
+        pipe_tpu.Line(
+            source=source.source(),
+            processors=pipe_tpu.Processors(proc.processor()),
+            sink=sink.sink(),
+        ),
+    )
+    with pytest.raises(PipeError):
+        wait_pipe(p, pipe_timeout)
+    assert source.flushed and proc.flushed and sink.flushed
+
+
+# -- live surgery (pipe_test.go:461-639) ---------------------------------------
+
+@pytest.mark.parametrize("is_async", [True, False], ids=["async", "sync"])
+def test_add_line(is_async, pipe_timeout):
+    """pipe_test.go:461-508."""
+    n = 100
+    sink1 = mock.Sink(discard=True)
+    line1 = pipe_tpu.Line(
+        source=mock.Source(limit=n * BLOCK, channels=2).source(),
+        sink=sink1.sink(),
+    )
+    ctx = mutable.IMMUTABLE if is_async else mutable.mutable()
+    sink2 = mock.Sink(discard=True)
+    line2 = pipe_tpu.Line(
+        source=mock.Source(limit=n * BLOCK, channels=2, value=2).source(),
+        sink=sink2.sink(),
+        context=ctx,
+    )
+    p = pipe_tpu.Pipe(BLOCK, line1)
+    p.start()
+    handle = p.add_line(line2)
+    assert handle.wait(pipe_timeout)
+    assert handle.error is None
+    p.wait()
+    assert sink1.messages == n
+    assert sink1.samples == n * BLOCK
+    assert sink2.messages == n
+    assert sink2.samples == n * BLOCK
+
+
+def test_add_line_into_running_group(pipe_timeout):
+    """pipe_test.go:510-569: add two lines into a live sync group."""
+    n = 100
+    mctx = mutable.mutable()
+    sinks = [mock.Sink(discard=True) for _ in range(4)]
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=mock.Source(limit=n * BLOCK, channels=2).source(),
+            sink=sinks[0].sink(),
+        ),
+        pipe_tpu.Line(
+            source=mock.Source(limit=n * BLOCK, channels=2, value=2).source(),
+            sink=sinks[1].sink(),
+            context=mctx,
+        ),
+    )
+    p.start()
+    for i in (2, 3):
+        handle = p.add_line(
+            pipe_tpu.Line(
+                source=mock.Source(limit=n * BLOCK, channels=2, value=2).source(),
+                sink=sinks[i].sink(),
+                context=mctx,
+            )
+        )
+        assert handle.wait(pipe_timeout)
+        assert handle.error is None
+    p.wait()
+    for s in sinks:
+        assert s.messages == n
+        assert s.samples == n * BLOCK
+
+
+@pytest.mark.parametrize("pos", [0, 1], ids=["before_processor", "before_sink"])
+def test_insert_processor(pos, pipe_timeout):
+    """pipe_test.go:571-598."""
+    block = 2
+    p = pipe_tpu.Pipe(
+        block,
+        pipe_tpu.Line(
+            source=mock.Source(limit=500, channels=2, interval=0.001).source(),
+            processors=pipe_tpu.Processors(mock.Processor().processor()),
+            sink=mock.Sink(discard=True).sink(),
+        ),
+    )
+    p.start()
+    proc = mock.Processor()
+    handle = p.insert_processor(0, pos, proc.processor())
+    assert handle.wait(pipe_timeout)
+    assert handle.error is None
+    p.wait()
+    assert proc.messages > 0
+
+
+@pytest.mark.parametrize(
+    "pos,is_async",
+    [(0, True), (1, True), (0, False), (1, False)],
+    ids=[
+        "async_before_processor",
+        "async_before_sink",
+        "sync_before_processor",
+        "sync_before_sink",
+    ],
+)
+def test_insert_multiple(pos, is_async, pipe_timeout):
+    """pipe_test.go:600-639: double insert, async & sync; the sink still
+    receives every sample."""
+    block = 2
+    samples = 500
+    ctx = mutable.IMMUTABLE if is_async else mutable.mutable()
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        block,
+        pipe_tpu.Line(
+            source=mock.Source(limit=samples, channels=2, interval=0.001).source(),
+            processors=pipe_tpu.Processors(mock.Processor().processor()),
+            sink=sink.sink(),
+            context=ctx,
+        ),
+    )
+    p.start()
+    proc1 = mock.Processor()
+    h1 = p.insert_processor(0, pos, proc1.processor())
+    assert h1.wait(pipe_timeout)
+    proc2 = mock.Processor()
+    h2 = p.insert_processor(0, pos, proc2.processor())
+    assert h2.wait(pipe_timeout)
+    p.wait()
+    assert sink.samples == samples
+    assert proc1.messages > 0
+    assert proc2.messages > 0

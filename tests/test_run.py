@@ -1,0 +1,209 @@
+"""Sync driver integration tests — the lifecycle matrix of
+``pipe_test.go:191-459`` (start-error rollback, EOF splice-out, flush
+guarantees, exact buffer-count arithmetic)."""
+
+import dataclasses
+
+import pytest
+
+import pipe_tpu
+from pipe_tpu import mock
+from pipe_tpu.errors import AllocationError, ErrorRun, StartError
+
+BLOCK = 512
+
+
+class MockError(Exception):
+    pass
+
+
+@dataclasses.dataclass
+class MockLine:
+    source: mock.Source
+    processor: mock.Processor
+    sink: mock.Sink
+
+    def line(self) -> pipe_tpu.Line:
+        return pipe_tpu.Line(
+            source=self.source.source(),
+            processors=pipe_tpu.Processors(self.processor.processor()),
+            sink=self.sink.sink(),
+        )
+
+
+def mock_line(limit, **kwargs) -> MockLine:
+    return MockLine(
+        source=mock.Source(limit=limit, channels=1, **kwargs),
+        processor=mock.Processor(),
+        sink=mock.Sink(discard=True),
+    )
+
+
+def assert_line(m: MockLine, messages, samples):
+    assert m.source.messages == messages
+    assert m.processor.messages == messages
+    assert m.sink.messages == messages
+    assert m.source.samples == samples
+    assert m.processor.samples == samples
+    assert m.sink.samples == samples
+
+
+# -- allocation failures (pipe_test.go:21-80) --------------------------------
+
+def test_binding_fail_source():
+    boom = MockError("binding error")
+    line = pipe_tpu.Line(
+        source=mock.Source(error_on_make=boom).source(),
+        processors=pipe_tpu.Processors(mock.Processor().processor()),
+        sink=mock.Sink().sink(),
+    )
+    with pytest.raises(AllocationError, match="source"):
+        pipe_tpu.run(BLOCK, line)
+
+
+def test_binding_fail_processor():
+    boom = MockError("binding error")
+    line = pipe_tpu.Line(
+        source=mock.Source(limit=4).source(),
+        processors=pipe_tpu.Processors(
+            mock.Processor(error_on_make=boom).processor()
+        ),
+        sink=mock.Sink().sink(),
+    )
+    with pytest.raises(AllocationError, match="processor"):
+        pipe_tpu.run(BLOCK, line)
+
+
+def test_binding_fail_sink():
+    boom = MockError("binding error")
+    line = pipe_tpu.Line(
+        source=mock.Source(limit=4).source(),
+        processors=pipe_tpu.Processors(mock.Processor().processor()),
+        sink=mock.Sink(error_on_make=boom).sink(),
+    )
+    with pytest.raises(AllocationError, match="sink"):
+        pipe_tpu.run(BLOCK, line)
+
+
+# -- lifecycle matrix (pipe_test.go:191-459) -----------------------------------
+
+def test_single_line_ok():
+    m = mock_line(1040)
+    pipe_tpu.run(BLOCK, m.line())
+    assert m.source.flushed and m.processor.flushed and m.sink.flushed
+    assert_line(m, 3, 1040)  # 1040 @ 512 => [512, 512, 16]
+
+
+def test_two_lines_ok():
+    m1, m2 = mock_line(1040), mock_line(1640)
+    pipe_tpu.run(BLOCK, m1.line(), m2.line())
+    assert_line(m1, 3, 1040)
+    assert_line(m2, 4, 1640)
+    for m in (m1, m2):
+        assert m.source.flushed and m.processor.flushed and m.sink.flushed
+
+
+def test_three_lines_ok():
+    m1, m2, m3 = mock_line(3048), mock_line(1640), mock_line(4096)
+    pipe_tpu.run(BLOCK, m1.line(), m2.line(), m3.line())
+    assert_line(m1, 6, 3048)
+    assert_line(m2, 4, 1640)
+    assert_line(m3, 8, 4096)
+
+
+def test_single_line_processor_start_error():
+    """Start failure: earlier components of the failing line flush; the
+    failing component and everything after do not (pipe_test.go:307-329)."""
+    m = mock_line(1040)
+    m.processor.hooks.error_on_start = MockError("start")
+    with pytest.raises(StartError):
+        pipe_tpu.run(BLOCK, m.line())
+    assert m.source.started and m.processor.started and not m.sink.started
+    assert m.source.flushed
+    assert not m.processor.flushed  # started++ happens only after success
+    assert not m.sink.flushed
+
+
+def test_two_lines_processor_start_error():
+    """Line 1 started fully and is rollback-flushed when line 2 fails to
+    start (pipe_test.go:273-306)."""
+    m1, m2 = mock_line(1040), mock_line(1040)
+    m2.processor.hooks.error_on_start = MockError("start")
+    with pytest.raises(StartError):
+        pipe_tpu.run(BLOCK, m1.line(), m2.line())
+    assert m1.source.started and m1.processor.started and m1.sink.started
+    assert m1.source.flushed and m1.processor.flushed and m1.sink.flushed
+    assert m2.source.started and m2.processor.started and not m2.sink.started
+    assert m2.source.flushed
+    assert not m2.processor.flushed and not m2.sink.flushed
+
+
+def test_two_lines_start_error_and_flush_error():
+    """pipe_test.go:227-272: flush error during start rollback."""
+    m1, m2 = mock_line(1040), mock_line(1040)
+    m1.source.hooks.error_on_flush = MockError("flush")
+    m2.processor.hooks.error_on_start = MockError("start")
+    with pytest.raises(StartError):
+        pipe_tpu.run(BLOCK, m1.line(), m2.line())
+    assert m1.source.flushed and m1.processor.flushed and m1.sink.flushed
+    assert m2.source.flushed
+    assert not m2.processor.flushed and not m2.sink.flushed
+
+
+def test_runtime_processor_error_still_flushes_everything():
+    """pipe_test.go:437-457."""
+    m = mock_line(1040)
+    boom = MockError("mock error")
+    m.processor.error_on_call = boom
+    with pytest.raises(ErrorRun) as exc_info:
+        pipe_tpu.run(BLOCK, m.line())
+    assert exc_info.value.is_(MockError)
+    assert m.source.flushed and m.processor.flushed and m.sink.flushed
+
+
+def test_sink_runtime_error():
+    m = mock_line(1040)
+    m.sink.error_on_call = MockError("sink error")
+    with pytest.raises(ErrorRun) as exc_info:
+        pipe_tpu.run(BLOCK, m.line())
+    assert exc_info.value.is_(MockError)
+    assert m.source.flushed and m.processor.flushed and m.sink.flushed
+
+
+def test_flush_error_after_clean_run():
+    """A flush error at EOF splice-out surfaces as the run's error — the
+    reference returns it from multiLineExecutor.execute (run.go:126-128), so
+    it lands in the exec slot of ErrorRun, not the flush slot."""
+    m = mock_line(1040)
+    m.sink.hooks.error_on_flush = MockError("flush error")
+    with pytest.raises(ErrorRun) as exc_info:
+        pipe_tpu.run(BLOCK, m.line())
+    assert exc_info.value.is_(MockError)
+    assert m.sink.flushed
+
+
+def test_per_line_eof_at_different_counts():
+    """Lines EOF at different sweeps; each is flushed at its own EOF and the
+    rest keep running (pipe_test.go:386-436, run.go:113-132)."""
+    m1, m2 = mock_line(BLOCK * 2), mock_line(BLOCK * 5)
+    pipe_tpu.run(BLOCK, m1.line(), m2.line())
+    assert_line(m1, 2, BLOCK * 2)
+    assert_line(m2, 5, BLOCK * 5)
+    assert m1.sink.flushed and m2.sink.flushed
+
+
+def test_values_flow_through():
+    """End-to-end data correctness: constant source value arrives at the
+    sink unchanged, partial final block included."""
+    src = mock.Source(value=0.5, channels=2, limit=10)
+    snk = mock.Sink()
+    line = pipe_tpu.Line(
+        source=src.source(),
+        processors=pipe_tpu.Processors(mock.Processor().processor()),
+        sink=snk.sink(),
+    )
+    pipe_tpu.run(4, line)
+    assert snk.values.shape == (2, 10)
+    import numpy as np
+
+    np.testing.assert_allclose(snk.values, 0.5)
