@@ -1,0 +1,47 @@
+"""DSP operators — the compute library of the framework.
+
+Each op comes in two layers:
+
+1. a pure functional kernel over arrays (jit/shard_map-composable), and
+2. a Processor allocator factory plugging it into a Line, with streaming
+   state (filter tails, FFT delay lines, resampler phase) carried in the
+   component state pytree and tunable parameters exposed as traced inputs
+   (so live mutations never recompile).
+
+The reference framework ships no DSP ops of its own (components like
+wav.Source live out-of-tree, reference ``doc.go:30-33``); this module is the
+kernel set the north-star benchmarks require (BASELINE.json configs: gain,
+mix, 255-tap FIR, 44.1k->48k polyphase resample, 64k-tap overlap-save FFT
+convolution reverb, EQ, demod).
+"""
+
+from pipe_tpu.ops.gain import Gain, gain_block
+from pipe_tpu.ops.mix import ChannelMix, channel_mix_block
+from pipe_tpu.ops.fir import FIR, fir_block, fir_init_tail, design_lowpass
+from pipe_tpu.ops.resample import Resampler, polyphase_design
+from pipe_tpu.ops.ols import OLSConvolve, ols_init_state, ols_block
+from pipe_tpu.ops.biquad import Biquad, biquad_block, design_peaking_eq
+from pipe_tpu.ops.demod import Oscillator, IQMix, EnvelopeDetector, am_demod_factory
+
+__all__ = [
+    "Gain",
+    "gain_block",
+    "ChannelMix",
+    "channel_mix_block",
+    "FIR",
+    "fir_block",
+    "fir_init_tail",
+    "design_lowpass",
+    "Resampler",
+    "polyphase_design",
+    "OLSConvolve",
+    "ols_init_state",
+    "ols_block",
+    "Biquad",
+    "biquad_block",
+    "design_peaking_eq",
+    "Oscillator",
+    "IQMix",
+    "EnvelopeDetector",
+    "am_demod_factory",
+]

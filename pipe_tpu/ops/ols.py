@@ -1,0 +1,135 @@
+"""Uniformly-partitioned overlap-save FFT convolution (benchmark config 4:
+64k-tap convolution reverb).
+
+For an impulse response of P taps and block size B, the IR is split into
+``ceil(P/B)`` partitions of B taps. Per block the engine does ONE rfft of
+the (2B) input window, a multiply-accumulate against the partition spectra
+across a frequency-domain delay line (FDL), and one irfft — O(B log B +
+P) per block instead of O(P*B) for direct convolution. This is the
+classical UPOLS structure; state is the FDL plus the previous input block,
+which is exactly the halo exchanged between devices when time-blocks are
+sharded.
+
+All spectra are complex64; XLA lowers the FFTs natively on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pipe_tpu.components import Processor
+from pipe_tpu.signal import Signal
+
+
+def partition_ir(ir: np.ndarray, block_size: int) -> np.ndarray:
+    """Split + transform an IR into partition spectra.
+
+    ``ir``: (P,) shared or (C, P) per-channel float.
+    Returns complex64 array (n_parts, bins) or (n_parts, C, bins) with
+    ``bins = block_size + 1`` (rfft of 2B-padded partitions).
+    """
+    ir = np.asarray(ir, np.float64)
+    shared = ir.ndim == 1
+    if shared:
+        ir = ir[None, :]
+    C, P = ir.shape
+    B = block_size
+    n_parts = -(-P // B)
+    padded = np.zeros((C, n_parts * B), np.float64)
+    padded[:, :P] = ir
+    parts = padded.reshape(C, n_parts, B).transpose(1, 0, 2)  # (n_parts, C, B)
+    spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], axis=-1), axis=-1)
+    spec = spec.astype(np.complex64)  # (n_parts, C, bins)
+    if shared:
+        return spec[:, 0, :]
+    return spec
+
+
+def ols_init_state(channels: int, block_size: int, n_parts: int):
+    """Zero state: previous input block + frequency-domain delay line."""
+    bins = block_size + 1
+    return {
+        "prev": jnp.zeros((channels, block_size), jnp.float32),
+        "fdl": jnp.zeros((n_parts, channels, bins), jnp.complex64),
+    }
+
+
+def ols_block(state, x, frames, ir_spec):
+    """One UPOLS block.
+
+    Args:
+      state: dict with ``prev`` (C, B) and ``fdl`` (n_parts, C, bins).
+      x: (C, B) input block, valid up to ``frames``.
+      frames: traced int32.
+      ir_spec: (n_parts, bins) shared or (n_parts, C, bins) per-channel
+        partition spectra (complex64).
+
+    Returns (new_state, y) with y (C, B).
+    """
+    C, B = x.shape
+    idx = jnp.arange(B, dtype=jnp.int32)[None, :]
+    xm = jnp.where(idx < frames, x, 0.0)
+    window = jnp.concatenate([state["prev"], xm], axis=1)  # (C, 2B)
+    X = jnp.fft.rfft(window, axis=-1).astype(jnp.complex64)  # (C, bins)
+    fdl = jnp.concatenate([X[None], state["fdl"][:-1]], axis=0)
+    if ir_spec.ndim == 2:
+        acc = jnp.einsum("pcb,pb->cb", fdl, ir_spec)
+    else:
+        acc = jnp.einsum("pcb,pcb->cb", fdl, ir_spec)
+    y = jnp.fft.irfft(acc, n=2 * B, axis=-1)[:, B:]  # overlap-save: keep tail half
+    # `prev` must hold the last B samples of the *valid* stream; with
+    # mid-stream partial blocks we shift by `frames` like the FIR tail.
+    buf = jnp.concatenate([state["prev"], xm], axis=1)
+    prev = jax.lax.dynamic_slice(buf, (0, frames), (C, B))
+    return {"prev": prev, "fdl": fdl}, y.astype(jnp.float32)
+
+
+class OLSConvolve:
+    """Partitioned overlap-save convolution processor. ``ir`` may be (P,)
+    shared or (C, P) per-channel. The partition spectra are a live parameter,
+    so the reverb IR can be swapped mid-stream (same P)."""
+
+    def __init__(self, ir):
+        self._ir = np.asarray(ir)
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        def alloc(mctx, block_size, props):
+            self.context = mctx
+            spec = jnp.asarray(partition_ir(self._ir, block_size))
+            if spec.ndim == 3 and spec.shape[1] != props.channels:
+                raise ValueError(
+                    f"per-channel IR for {spec.shape[1]} channels, "
+                    f"line has {props.channels}"
+                )
+            n_parts = spec.shape[0]
+
+            def step(state, params, sig: Signal):
+                new_state, y = ols_block(
+                    state, sig.data, sig.frames, params["ir_spec"]
+                )
+                return new_state, sig.with_data(y)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state=ols_init_state(props.channels, block_size, n_parts),
+                params={"ir_spec": spec},
+            )
+            return self._component
+
+        return alloc
+
+    def set_ir(self, ir):
+        """Swap the impulse response mid-stream (shape-compatible)."""
+
+        def fn():
+            block_size = self._component.state["prev"].shape[1]
+            self._component.set_param(
+                "ir_spec", jnp.asarray(partition_ir(np.asarray(ir), block_size))
+            )
+
+        return self.context.mutate(fn)
