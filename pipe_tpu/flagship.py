@@ -1,0 +1,71 @@
+"""The flagship graph: 64-channel FIR(255) -> 44.1k->48k polyphase resample
+-> merged mix (BASELINE.json configs 3/5 — the headline benchmark chain).
+
+Provides a *pure, single-chip* chunk function (for compile checks and
+single-chip benchmarking) built from the same functional kernels the
+streaming runtime and the sharded chain use, so all three paths compute the
+same numbers.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pipe_tpu.ops.fir import design_lowpass, fir_block, fir_init_tail
+from pipe_tpu.ops.resample import polyphase_design
+
+FIR_TAPS = 255
+RS_UP, RS_DOWN = 160, 147  # 44.1 kHz -> 48 kHz
+RS_K = 32  # taps per polyphase phase
+SAMPLE_RATE = 44100.0
+
+
+def make_flagship(channels: int = 64, chunk: int = 147 * 64, mix_out: int = 2):
+    """Build ``(fn, init_state, example_x)``.
+
+    ``fn(state, x) -> (state, y)`` processes one ``(channels, chunk)`` input
+    chunk into ``(mix_out, chunk*160//147)`` output, carrying FIR tail and
+    resampler history. ``chunk`` must be a multiple of 147 so the resampler
+    emits a static output count.
+    """
+    if chunk % RS_DOWN:
+        raise ValueError(f"chunk must be a multiple of {RS_DOWN}")
+    h = jnp.asarray(design_lowpass(FIR_TAPS, 4000.0, SAMPLE_RATE), jnp.float32)
+    hp = jnp.asarray(polyphase_design(RS_UP, RS_DOWN, RS_K), jnp.float32)
+    mix = jnp.asarray(np.ones((mix_out, channels)) / channels, jnp.float32)
+    n_out = chunk * RS_UP // RS_DOWN
+
+    def fn(state, x):
+        fir_tail, rs_hist = state
+        frames = jnp.asarray(chunk, jnp.int32)
+        fir_tail2, y = fir_block(fir_tail, x, frames, h)
+
+        # polyphase resample, phase 0 at every chunk boundary (chunk % 147 == 0)
+        ctx = jnp.concatenate([rs_hist, y], axis=1)
+        t = jnp.arange(n_out, dtype=jnp.int32)
+        u = t * RS_DOWN
+        p = u % RS_UP
+        n0 = u // RS_UP
+        ii = jnp.arange(RS_K, dtype=jnp.int32)
+        gidx = (RS_K - 1 + n0)[:, None] - ii[None, :]
+        windows = ctx[:, gidx]
+        z = jnp.einsum(
+            "cbk,bk->cb", windows, hp[p], preferred_element_type=jnp.float32
+        )
+        rs_hist2 = y[:, -(RS_K - 1):]
+
+        out = jnp.dot(mix, z, preferred_element_type=jnp.float32)
+        return (fir_tail2, rs_hist2), out
+
+    init_state = (
+        fir_init_tail(channels, FIR_TAPS),
+        jnp.zeros((channels, RS_K - 1), jnp.float32),
+    )
+    rng = np.random.default_rng(0)
+    example_x = jnp.asarray(
+        rng.standard_normal((channels, chunk)), jnp.float32
+    )
+    return fn, init_state, example_x

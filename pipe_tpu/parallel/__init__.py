@@ -1,0 +1,45 @@
+"""Scaling layer — meshes, halo exchange, and the sharded chunk runner.
+
+This replaces the reference's entire concurrency apparatus (goroutines +
+cap-1 channels, ``fitting.go:81-104``; SURVEY.md §2 parallelism table) with
+the TPU-native constructs:
+
+- **channel axis** = data parallelism: lines/channels sharded over devices;
+  per-channel ops need no communication; the merged mixer sink reduces with
+  ``psum`` over ICI.
+- **time axis** = sequence parallelism: a long chunk is split into
+  contiguous time-blocks, one per device; stateful ops receive their left
+  neighbor's trailing samples (filter tails, OLS history) as a *halo* via
+  ``ppermute`` — the overlap-save boundary exchange of BASELINE.json's
+  north star.
+- IIR recurrences cross device boundaries through an associative scan over
+  the mesh: per-device scan products are all-gathered (tiny 2x2 matrices)
+  and prefix-combined, so even feedback filters shard over time.
+"""
+
+from pipe_tpu.parallel.mesh import make_mesh, CH_AXIS, TIME_AXIS
+from pipe_tpu.parallel.halo import halo_from_left, last_shard
+from pipe_tpu.parallel.chain import (
+    ShardedChain,
+    GainStage,
+    FIRStage,
+    OLSStage,
+    ResampleStage,
+    BiquadStage,
+    MixStage,
+)
+
+__all__ = [
+    "make_mesh",
+    "CH_AXIS",
+    "TIME_AXIS",
+    "halo_from_left",
+    "last_shard",
+    "ShardedChain",
+    "GainStage",
+    "FIRStage",
+    "OLSStage",
+    "ResampleStage",
+    "BiquadStage",
+    "MixStage",
+]

@@ -1,0 +1,387 @@
+"""ShardedChain — the bulk/throughput runner over a device mesh.
+
+Where the streaming runtime (``pipe_tpu.runtime``) advances one block at a
+time on one chip, the sharded chain processes a large chunk per step with
+the channel axis sharded as data parallelism and the time axis sharded as
+sequence parallelism. Stream state (filter tails, IIR states, OLS history)
+crosses the device boundary as halos: each device receives its left
+neighbor's trailing samples via ``ppermute`` (``halo.halo_from_left``), and
+a chunk's final state is re-broadcast as the next chunk's carry
+(``halo.last_shard``) — so chunked+sharded output is bit-identical in
+structure to the sequential stream.
+
+All stage parameters are traced inputs: retuning a filter or a mix matrix
+between chunks never recompiles.
+
+Stage coverage (BASELINE.json config 5 chain and friends):
+
+- :class:`GainStage`      — elementwise, no communication
+- :class:`FIRStage`       — (T-1)-sample halo
+- :class:`ResampleStage`  — polyphase L/M; requires ``N_local*L % M == 0``
+  so every device emits an equal, static output count (phase offset is then
+  identical at every boundary)
+- :class:`OLSStage`       — chunk-granular overlap-save FFT convolution,
+  P-sample halo
+- :class:`BiquadStage`    — IIR sharded over time via associative scan
+  *across devices*: per-device affine-scan totals are all-gathered (2x2
+  per channel) and prefix-combined, then local outputs corrected
+- :class:`MixStage`       — (C_out, C_in) matrix mix reduced with ``psum``
+  over the channel axis: the 'merged mixer sink'. Must be last.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+from pipe_tpu.parallel.halo import halo_from_left, last_shard, exclusive_prefix
+from pipe_tpu.ops.fir import _conv_valid
+from pipe_tpu.ops.biquad import _affine_combine
+
+
+class Stage:
+    """Build-time protocol. ``build(c_global, c_local, n_local)`` fixes
+    shapes; carries are GLOBAL arrays (shard_map shards them by
+    ``carry_spec``) while ``apply`` sees the local view."""
+
+    def build(self, c_global: int, c_local: int, n_local: int):
+        raise NotImplementedError
+
+    # populated by build():
+    carry: Any = None
+    params: Any = None
+    carry_spec: Any = None
+    param_spec: Any = None
+    out_c_local: int = 0
+    out_n_local: int = 0
+
+    def apply(self, carry, params, x_local):
+        raise NotImplementedError
+
+
+class GainStage(Stage):
+    def __init__(self, gain=1.0):
+        self._gain = gain
+
+    def build(self, c_global, c_local, n_local):
+        self.carry = ()
+        self.params = {"gain": jnp.asarray(self._gain, jnp.float32)}
+        self.carry_spec = ()
+        self.param_spec = {"gain": P()}
+        self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
+
+    def apply(self, carry, params, x):
+        g = params["gain"]
+        if g.ndim == 1:
+            g = g[:, None]
+        return (), x * g
+
+
+class FIRStage(Stage):
+    """Shared-taps FIR with (T-1) halo. (Per-channel taps would shard the
+    taps over CH_AXIS; shared taps replicate.)"""
+
+    def __init__(self, taps):
+        self._taps = jnp.asarray(taps, jnp.float32)
+        if self._taps.ndim != 1:
+            raise ValueError("FIRStage uses shared (T,) taps")
+
+    def build(self, c_global, c_local, n_local):
+        T = self._taps.shape[0]
+        if T - 1 > n_local:
+            raise ValueError(
+                f"FIR halo {T-1} exceeds local chunk {n_local}; "
+                "use a larger chunk or fewer time shards"
+            )
+        self.carry = {"tail": jnp.zeros((c_global, T - 1), jnp.float32)}
+        self.params = {"taps": self._taps}
+        self.carry_spec = {"tail": P(CH_AXIS, None)}
+        self.param_spec = {"taps": P()}
+        self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
+
+    def apply(self, carry, params, x):
+        T = params["taps"].shape[0]
+        left = halo_from_left(x, T - 1, TIME_AXIS, carry["tail"])
+        buf = jnp.concatenate([left, x], axis=1)
+        y = _conv_valid(buf, jnp.flip(params["taps"], -1))
+        new_tail = last_shard(x[:, -(T - 1):], TIME_AXIS)
+        return {"tail": new_tail}, y
+
+
+class ResampleStage(Stage):
+    def __init__(self, up: int, down: int, taps_per_phase: int = 32):
+        from pipe_tpu.ops.resample import _reduce_ratio, polyphase_design
+
+        self.up, self.down = _reduce_ratio(up, down)
+        self.K = taps_per_phase
+        self._hp = jnp.asarray(
+            polyphase_design(self.up, self.down, taps_per_phase), jnp.float32
+        )
+
+    def build(self, c_global, c_local, n_local):
+        L, M, K = self.up, self.down, self.K
+        if (n_local * L) % M != 0:
+            raise ValueError(
+                f"ResampleStage needs N_local*{L} divisible by {M}; "
+                f"got N_local={n_local}"
+            )
+        if K - 1 > n_local:
+            raise ValueError("resampler halo exceeds local chunk")
+        self.carry = {"hist": jnp.zeros((c_global, K - 1), jnp.float32)}
+        self.params = {"hp": self._hp}
+        self.carry_spec = {"hist": P(CH_AXIS, None)}
+        self.param_spec = {"hp": P()}
+        self.out_c_global, self.out_c_local = c_global, c_local
+        self.out_n_local = n_local * L // M
+
+    def apply(self, carry, params, x):
+        L, M, K = self.up, self.down, self.K
+        C, N = x.shape
+        n_out = N * L // M
+        left = halo_from_left(x, K - 1, TIME_AXIS, carry["hist"])
+        ctx = jnp.concatenate([left, x], axis=1)
+        t = jnp.arange(n_out, dtype=jnp.int32)
+        u = t * M  # device-local phase starts at 0 by the divisibility rule
+        p = u % L
+        n0 = u // L
+        ii = jnp.arange(K, dtype=jnp.int32)
+        gidx = (K - 1 + n0)[:, None] - ii[None, :]
+        windows = ctx[:, gidx]
+        y = jnp.einsum(
+            "cbk,bk->cb", windows, params["hp"][p],
+            preferred_element_type=jnp.float32,
+        )
+        new_hist = last_shard(x[:, -(K - 1):], TIME_AXIS)
+        return {"hist": new_hist}, y
+
+
+class OLSStage(Stage):
+    """Chunk-granular overlap-save FFT convolution: each device convolves
+    [P-sample halo, local chunk] with one FFT sized to the next power of two
+    >= P + N_local and keeps the last N_local outputs."""
+
+    def __init__(self, ir):
+        self._ir = np.asarray(ir, np.float64)
+        if self._ir.ndim != 1:
+            raise ValueError("OLSStage uses a shared (P,) impulse response")
+
+    def build(self, c_global, c_local, n_local):
+        Pn = self._ir.shape[0]
+        if Pn > n_local:
+            raise ValueError(
+                f"OLS halo {Pn} exceeds local chunk {n_local}; "
+                "use a larger chunk or fewer time shards"
+            )
+        F = 1 << int(np.ceil(np.log2(Pn + n_local)))
+        spec = np.fft.rfft(self._ir, n=F).astype(np.complex64)
+        self._F = F
+        self.carry = {"hist": jnp.zeros((c_global, Pn), jnp.float32)}
+        self.params = {"ir_f": jnp.asarray(spec)}
+        self.carry_spec = {"hist": P(CH_AXIS, None)}
+        self.param_spec = {"ir_f": P()}
+        self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
+
+    def apply(self, carry, params, x):
+        C, N = x.shape
+        Pn = carry["hist"].shape[1]
+        left = halo_from_left(x, Pn, TIME_AXIS, carry["hist"])
+        w = jnp.concatenate([left, x], axis=1)  # (C, Pn+N)
+        W = jnp.fft.rfft(w, n=self._F, axis=-1)
+        y = jnp.fft.irfft(W * params["ir_f"][None, :], n=self._F, axis=-1)
+        y = y[:, Pn : Pn + N].astype(jnp.float32)
+        new_hist = last_shard(x[:, -Pn:], TIME_AXIS)
+        return {"hist": new_hist}, y
+
+
+class BiquadStage(Stage):
+    """One biquad section, time-sharded. Local affine scan + cross-device
+    exclusive prefix of the per-device scan totals."""
+
+    def __init__(self, sos_row):
+        sos = np.asarray(sos_row, np.float64).reshape(-1)
+        if sos.shape[0] != 6:
+            raise ValueError("BiquadStage takes one SOS row")
+        self._sos = jnp.asarray(sos / sos[3], jnp.float32)
+
+    def build(self, c_global, c_local, n_local):
+        self.carry = {
+            "x_tail": jnp.zeros((c_global, 2), jnp.float32),
+            "s": jnp.zeros((c_global, 2), jnp.float32),
+        }
+        self.params = {"sos": self._sos}
+        self.carry_spec = {"x_tail": P(CH_AXIS, None), "s": P(CH_AXIS, None)}
+        self.param_spec = {"sos": P()}
+        self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
+
+    def apply(self, carry, params, x):
+        C, N = x.shape
+        coefs = params["sos"]
+        b0, b1, b2, a1, a2 = coefs[0], coefs[1], coefs[2], coefs[4], coefs[5]
+
+        x_tail = halo_from_left(x, 2, TIME_AXIS, carry["x_tail"])
+        buf = jnp.concatenate([x_tail, x], axis=1)
+        v = b0 * buf[:, 2:] + b1 * buf[:, 1:-1] + b2 * buf[:, :-2]
+
+        A = jnp.stack(
+            [jnp.stack([-a1, -a2]),
+             jnp.stack([jnp.ones_like(a1), jnp.zeros_like(a1)])]
+        )
+        As = jnp.broadcast_to(A[None, None], (N, C, 2, 2))
+        us = jnp.stack([v, jnp.zeros_like(v)], axis=-1)  # (C, N, 2)
+        us_t = jnp.swapaxes(us, 0, 1)  # (N, C, 2)
+        Pn, q = lax.associative_scan(_affine_combine, (As, us_t), axis=0)
+
+        # device-local totals -> exclusive prefix across the time axis
+        unit = (
+            jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (C, 2, 2)),
+            jnp.zeros((C, 2), jnp.float32),
+        )
+        pre = exclusive_prefix(
+            TIME_AXIS, _affine_combine, unit, (Pn[-1], q[-1])
+        )
+        # chunk-start state corrected by the devices to my left
+        s0 = jnp.einsum("cij,cj->ci", pre[0], carry["s"]) + pre[1]
+        s_all = jnp.einsum("ncij,cj->nci", Pn, s0) + q
+        y = jnp.swapaxes(s_all[..., 0], 0, 1)
+
+        new_s = last_shard(s_all[-1], TIME_AXIS)
+        new_x_tail = last_shard(x[:, -2:], TIME_AXIS)
+        return {"x_tail": new_x_tail, "s": new_s}, y
+
+
+class MixStage(Stage):
+    """Matrix mix with channel reduction over the mesh: ``psum`` of the
+    column-sharded partial products — the on-device merged mixer sink.
+    Output is replicated over the channel axis; must be the last stage."""
+
+    def __init__(self, matrix):
+        self._m = jnp.asarray(matrix, jnp.float32)
+        if self._m.ndim != 2:
+            raise ValueError("mix matrix must be (C_out, C_in)")
+
+    def build(self, c_global, c_local, n_local):
+        if self._m.shape[1] != c_global:
+            raise ValueError(
+                f"mix matrix expects {self._m.shape[1]} input channels, "
+                f"chain has {c_global}"
+            )
+        self.carry = ()
+        self.params = {"m": self._m}
+        self.carry_spec = ()
+        # columns sharded with the input channels
+        self.param_spec = {"m": P(None, CH_AXIS)}
+        # output channels are global and replicated over the ch axis
+        self.out_c_global = self.out_c_local = self._m.shape[0]
+        self.out_n_local = n_local
+        self.reduces_channels = True
+
+    def apply(self, carry, params, x):
+        partial_mix = jnp.dot(
+            params["m"], x, preferred_element_type=jnp.float32
+        )
+        return (), lax.psum(partial_mix, CH_AXIS)
+
+
+class ShardedChain:
+    """Compose stages into one shard_map'ed, jitted chunk step with carried
+    stream state.
+
+    Args:
+      mesh: a ``(ch, time)`` mesh from :func:`pipe_tpu.parallel.make_mesh`.
+      stages: stage list; :class:`MixStage` may only appear last.
+      channels: global channel count (divisible by the ch-axis size).
+      chunk_frames: global frames per step (divisible by the time-axis size).
+    """
+
+    def __init__(self, mesh, stages: Sequence[Stage], channels: int, chunk_frames: int):
+        self.mesh = mesh
+        self.stages = list(stages)
+        self.channels = channels
+        self.chunk_frames = chunk_frames
+
+        ch_shards = mesh.shape[CH_AXIS]
+        t_shards = mesh.shape[TIME_AXIS]
+        if channels % ch_shards:
+            raise ValueError(f"channels {channels} not divisible by {ch_shards}")
+        if chunk_frames % t_shards:
+            raise ValueError(
+                f"chunk_frames {chunk_frames} not divisible by {t_shards}"
+            )
+        c_global = channels
+        c_local = channels // ch_shards
+        n_local = chunk_frames // t_shards
+        if not self.stages:
+            raise ValueError("ShardedChain needs at least one stage")
+        for i, st in enumerate(self.stages):
+            st.build(c_global, c_local, n_local)
+            c_global, c_local, n_local = (
+                st.out_c_global, st.out_c_local, st.out_n_local
+            )
+        final_reduces = any(
+            getattr(st, "reduces_channels", False) for st in self.stages
+        )
+        if final_reduces and not getattr(self.stages[-1], "reduces_channels", False):
+            raise ValueError("MixStage must be the last stage")
+        self.out_channels = c_global
+        self.out_frames = n_local * t_shards
+
+        carry_specs = tuple(st.carry_spec for st in self.stages)
+        param_specs = tuple(st.param_spec for st in self.stages)
+        x_spec = P(CH_AXIS, TIME_AXIS)
+        final_reduces = bool(
+            self.stages and getattr(self.stages[-1], "reduces_channels", False)
+        )
+        y_spec = P(None, TIME_AXIS) if final_reduces else P(CH_AXIS, TIME_AXIS)
+
+        stages_ref = self.stages
+
+        def chunk_fn(carries, params, x):
+            new_carries = []
+            for st, c, p in zip(stages_ref, carries, params):
+                c2, x = st.apply(c, p, x)
+                new_carries.append(c2)
+            return tuple(new_carries), x
+
+        self._step = jax.jit(
+            shard_map(
+                chunk_fn,
+                mesh=mesh,
+                in_specs=(carry_specs, param_specs, x_spec),
+                out_specs=(carry_specs, y_spec),
+                check_vma=False,
+            )
+        )
+        self.carries = tuple(st.carry for st in self.stages)
+
+    def params(self):
+        return tuple(st.params for st in self.stages)
+
+    def step(self, x):
+        """One chunk: ``x`` (channels, chunk_frames) -> (out_channels,
+        out_frames), advancing carried state."""
+        new_carries, y = self._step(self.carries, self.params(), x)
+        self.carries = new_carries
+        return y
+
+    def process(self, x) -> np.ndarray:
+        """Stream a long (channels, N) signal chunk by chunk (N divisible by
+        chunk_frames) and return the concatenated output."""
+        C, N = x.shape
+        if N % self.chunk_frames:
+            raise ValueError(f"N={N} not divisible by chunk {self.chunk_frames}")
+        outs = []
+        for i in range(N // self.chunk_frames):
+            xc = jnp.asarray(
+                x[:, i * self.chunk_frames : (i + 1) * self.chunk_frames],
+                jnp.float32,
+            )
+            outs.append(np.asarray(self.step(xc)))
+        return np.concatenate(outs, axis=1)

@@ -1,0 +1,72 @@
+"""Halo exchange primitives (shard_map-internal).
+
+The overlap-save boundary mechanic: when a stream chunk is sharded over the
+time axis, each device's stateful ops need the trailing ``halo`` samples of
+the *previous* time-block, which live on the left neighbor. ``ppermute``
+shifts every device's tail one step right over ICI; the first device takes
+the carry from the previous chunk instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def halo_from_left(x_local, halo: int, axis_name: str, carried):
+    """Return the ``halo`` samples preceding this device's time-block.
+
+    Args:
+      x_local: ``(C, N_local)`` this device's chunk slice.
+      halo: number of trailing samples each device contributes.
+      axis_name: time mesh axis name.
+      carried: ``(C, halo)`` stream state carried from the previous chunk
+        (used by device 0; replicated input).
+
+    Must be called inside ``shard_map``. ``ppermute`` leaves device 0's
+    receive buffer zero (no source permutes into it), and the carry is
+    selected there.
+    """
+    if halo <= 0:
+        return x_local[:, :0]
+    n = lax.axis_size(axis_name)
+    tail = x_local[:, -halo:]
+    if n == 1:
+        return carried
+    left = lax.ppermute(tail, axis_name, perm=[(i, i + 1) for i in range(n - 1)])
+    idx = lax.axis_index(axis_name)
+    return jnp.where(idx == 0, carried, left)
+
+
+def last_shard(value, axis_name: str):
+    """Replicate the LAST device's ``value`` to every device — how a chunk's
+    final stream state (filter tail, IIR state) becomes the next chunk's
+    carry. Implemented as an all_gather + static index; the payloads are
+    small (tails, 2-vectors)."""
+    gathered = lax.all_gather(value, axis_name, axis=0)
+    return gathered[-1]
+
+
+def exclusive_prefix(axis_name: str, combine, unit, value):
+    """Exclusive prefix-combine of per-device values over a mesh axis:
+    device d receives ``combine(v_0, ..., v_{d-1})`` (``unit`` for d=0).
+
+    Used to shard IIR recurrences over time: per-device scan totals are
+    tiny (2x2 matrices per channel), so an all_gather + local fori_loop is
+    cheaper than a log-step ladder at these sizes.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    gathered = jax.tree.map(
+        lambda v: lax.all_gather(v, axis_name, axis=0), value
+    )  # (D, ...)
+
+    def body(d, acc):
+        take = jax.tree.map(lambda g: g[d], gathered)
+        new = combine(acc, take)
+        return jax.tree.map(
+            lambda a, b: jnp.where(d < idx, b, a), acc, new
+        )
+
+    return lax.fori_loop(0, n, body, unit)

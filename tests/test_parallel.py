@@ -1,0 +1,163 @@
+"""Sharded chain tests on the 8-virtual-device CPU mesh — the multi-chip
+correctness story (SURVEY.md §4: multi-host behavior tested on one host by
+faking mesh axes). Every test checks the sharded chunked output against a
+sequential float64 oracle, which exercises halo exchange, carry rebroadcast,
+and the cross-device IIR scan."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax
+
+from pipe_tpu import ops, parallel
+from pipe_tpu.signal import snr_db
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_fir_time_sharded(rng):
+    h = ops.design_lowpass(255, cutoff=4000, sample_rate=44100)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.FIRStage(h)], channels=2, chunk_frames=4096
+    )
+    out = chain.process(x)  # two chunks -> exercises carry across chunks
+    oracle = scipy.signal.lfilter(h, [1.0], x.astype(np.float64), axis=1)
+    assert out.shape == x.shape
+    assert snr_db(oracle, out) > 100
+
+
+def test_fir_channel_and_time_sharded(rng):
+    h = ops.design_lowpass(101, cutoff=2000, sample_rate=44100)
+    x = rng.standard_normal((8, 4096)).astype(np.float32)
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.FIRStage(h), parallel.GainStage(0.5)],
+        channels=8,
+        chunk_frames=2048,
+    )
+    out = chain.process(x)
+    oracle = 0.5 * scipy.signal.lfilter(h, [1.0], x.astype(np.float64), axis=1)
+    assert snr_db(oracle, out) > 100
+
+
+def test_resample_time_sharded(rng):
+    # N_local = 588 = 4*147 satisfies the divisibility rule for 160/147
+    x = rng.standard_normal((2, 4704)).astype(np.float32)  # 2 chunks of 2352
+    mesh = parallel.make_mesh(1, 4)
+    st = parallel.ResampleStage(48000, 44100)
+    chain = parallel.ShardedChain(mesh, [st], channels=2, chunk_frames=2352)
+    out = chain.process(x)
+    assert out.shape == (2, 4704 * 160 // 147)
+
+    # oracle: the streaming polyphase formula in float64
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    hp64 = polyphase_design(160, 147, st.K)
+    oracle = _resample_oracle(x.astype(np.float64), hp64, 160, 147)
+    assert snr_db(oracle, out) > 100
+
+
+def test_ols_time_sharded(rng):
+    P = 1000
+    ir = rng.standard_normal(P) * np.exp(-np.arange(P) / 200.0)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.OLSStage(ir)], channels=2, chunk_frames=4096
+    )
+    out = chain.process(x)
+    oracle = scipy.signal.lfilter(ir, [1.0], x.astype(np.float64), axis=1)
+    assert snr_db(oracle, out) > 100
+
+
+def test_biquad_time_sharded_cross_device_scan(rng):
+    """IIR feedback crossing 4 device boundaries via the mesh-wide
+    associative scan must match sequential sosfilt."""
+    sos = ops.design_peaking_eq(44100, freq=1000, q=2.0, gain_db=6.0)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.BiquadStage(sos)], channels=2, chunk_frames=2048
+    )
+    out = chain.process(x)
+    oracle = scipy.signal.sosfilt(sos[None, :], x.astype(np.float64), axis=1)
+    assert snr_db(oracle, out) > 75  # f32 recursion bound
+
+
+def test_mix_psum_merged_sink(rng):
+    """Config-5 shape: channel-sharded lines merged by a psum mixer."""
+    x = rng.standard_normal((8, 2048)).astype(np.float32)
+    m = rng.standard_normal((2, 8)).astype(np.float32)
+    mesh = parallel.make_mesh(4, 2)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.MixStage(m)], channels=8, chunk_frames=1024
+    )
+    out = chain.process(x)
+    oracle = m.astype(np.float64) @ x.astype(np.float64)
+    assert out.shape == (2, 2048)
+    assert snr_db(oracle, out) > 100
+
+
+def test_full_config5_chain(rng):
+    """FIR -> 44.1k->48k resample -> merged mix, channels+time sharded:
+    the headline benchmark graph, verified against the sequential oracle."""
+    C = 8
+    h = ops.design_lowpass(255, cutoff=4000, sample_rate=44100)
+    mix = (np.ones((2, C)) / C).astype(np.float32)
+    x = rng.standard_normal((C, 2352)).astype(np.float32)
+    mesh = parallel.make_mesh(2, 4)
+    st = parallel.ResampleStage(48000, 44100)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.FIRStage(h), st, parallel.MixStage(mix)],
+        channels=C,
+        chunk_frames=2352,
+    )
+    out = chain.process(x)
+
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    fx = scipy.signal.lfilter(h, [1.0], x.astype(np.float64), axis=1)
+    hp64 = polyphase_design(160, 147, st.K)
+    rx = _resample_oracle(fx, hp64, 160, 147)
+    oracle = mix.astype(np.float64) @ rx
+    assert out.shape == oracle.shape
+    assert snr_db(oracle, out) > 100
+
+
+def test_chunked_equals_single_chunk(rng):
+    """Carry across chunks: two 2048-chunks == one 4096-chunk."""
+    h = ops.design_lowpass(127, cutoff=3000, sample_rate=44100)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 2)
+    c1 = parallel.ShardedChain(mesh, [parallel.FIRStage(h)], 2, 4096)
+    c2 = parallel.ShardedChain(mesh, [parallel.FIRStage(h)], 2, 2048)
+    np.testing.assert_allclose(c1.process(x), c2.process(x), atol=2e-5)
+
+
+def test_validation_errors():
+    h = np.ones(9)
+    mesh = parallel.make_mesh(1, 2)
+    with pytest.raises(ValueError, match="divisible"):
+        parallel.ShardedChain(mesh, [parallel.FIRStage(h)], 2, 1001)
+    with pytest.raises(ValueError, match="last stage"):
+        parallel.ShardedChain(
+            mesh,
+            [parallel.MixStage(np.ones((1, 2))), parallel.GainStage(1.0)],
+            2,
+            1024,
+        )
+    with pytest.raises(ValueError, match="halo"):
+        parallel.ShardedChain(
+            parallel.make_mesh(1, 4), [parallel.FIRStage(np.ones(2000))], 2, 4096
+        )
+    with pytest.raises(ValueError, match="needs 8 devices"):
+        parallel.make_mesh(4, 2, devices=jax.devices()[:4])
