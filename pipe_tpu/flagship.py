@@ -11,11 +11,12 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pipe_tpu.ops.fir import design_lowpass, fir_block, fir_init_tail
-from pipe_tpu.ops.resample import polyphase_design
+from pipe_tpu.ops.fir import design_lowpass, fir_apply, fir_init_tail
+from pipe_tpu.ops.resample import polyphase_design, resample_apply
 
 FIR_TAPS = 255
 RS_UP, RS_DOWN = 160, 147  # 44.1 kHz -> 48 kHz
@@ -36,28 +37,20 @@ def make_flagship(channels: int = 64, chunk: int = 147 * 64, mix_out: int = 2):
     h = jnp.asarray(design_lowpass(FIR_TAPS, 4000.0, SAMPLE_RATE), jnp.float32)
     hp = jnp.asarray(polyphase_design(RS_UP, RS_DOWN, RS_K), jnp.float32)
     mix = jnp.asarray(np.ones((mix_out, channels)) / channels, jnp.float32)
-    n_out = chunk * RS_UP // RS_DOWN
 
     def fn(state, x):
         fir_tail, rs_hist = state
-        frames = jnp.asarray(chunk, jnp.int32)
-        fir_tail2, y = fir_block(fir_tail, x, frames, h)
+        y = fir_apply(fir_tail, x, h)
+        fir_tail2 = x[:, -(FIR_TAPS - 1):]
 
         # polyphase resample, phase 0 at every chunk boundary (chunk % 147 == 0)
-        ctx = jnp.concatenate([rs_hist, y], axis=1)
-        t = jnp.arange(n_out, dtype=jnp.int32)
-        u = t * RS_DOWN
-        p = u % RS_UP
-        n0 = u // RS_UP
-        ii = jnp.arange(RS_K, dtype=jnp.int32)
-        gidx = (RS_K - 1 + n0)[:, None] - ii[None, :]
-        windows = ctx[:, gidx]
-        z = jnp.einsum(
-            "cbk,bk->cb", windows, hp[p], preferred_element_type=jnp.float32
-        )
+        z = resample_apply(rs_hist, y, hp, RS_UP, RS_DOWN)
         rs_hist2 = y[:, -(RS_K - 1):]
 
-        out = jnp.dot(mix, z, preferred_element_type=jnp.float32)
+        out = jnp.dot(
+            mix, z, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return (fir_tail2, rs_hist2), out
 
     init_state = (

@@ -35,8 +35,9 @@ def _affine_combine(left, right):
     """
     A1, u1 = left
     A2, u2 = right
-    A = jnp.einsum("...ij,...jk->...ik", A2, A1)
-    u = jnp.einsum("...ij,...j->...i", A2, u1) + u2
+    hi = lax.Precision.HIGHEST
+    A = jnp.einsum("...ij,...jk->...ik", A2, A1, precision=hi)
+    u = jnp.einsum("...ij,...j->...i", A2, u1, precision=hi) + u2
     return A, u
 
 
@@ -77,7 +78,10 @@ def biquad_section_block(state, x, frames, coefs):
     P, q = lax.associative_scan(combine, (As_b, us_t), axis=0)
     # s[n] = P[n] @ s_init + q[n]
     s_init = state["s"]  # (C, 2)
-    s_all = jnp.einsum("bcij,cj->bci", P, s_init) + q  # (B, C, 2)
+    s_all = (
+        jnp.einsum("bcij,cj->bci", P, s_init, precision=lax.Precision.HIGHEST)
+        + q
+    )  # (B, C, 2)
     y = jnp.swapaxes(s_all[..., 0], 0, 1)  # (C, B)
 
     # next state: s after the last VALID frame. s_at[k] = state after k

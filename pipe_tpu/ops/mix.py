@@ -10,14 +10,19 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+from jax import lax
 
 from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal, SignalProperties
 
 
 def channel_mix_block(x, m):
-    """``(C_out, C_in) @ (C_in, B) -> (C_out, B)`` on the MXU."""
-    return jnp.dot(m, x, preferred_element_type=jnp.float32)
+    """``(C_out, C_in) @ (C_in, B) -> (C_out, B)`` on the MXU. f32
+    (HIGHEST) precision — DEFAULT truncates operands to bf16 on TPU."""
+    return jnp.dot(
+        m, x, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
 
 
 class ChannelMix:

@@ -74,10 +74,11 @@ def ols_block(state, x, frames, ir_spec):
     window = jnp.concatenate([state["prev"], xm], axis=1)  # (C, 2B)
     X = jnp.fft.rfft(window, axis=-1).astype(jnp.complex64)  # (C, bins)
     fdl = jnp.concatenate([X[None], state["fdl"][:-1]], axis=0)
+    hi = jax.lax.Precision.HIGHEST
     if ir_spec.ndim == 2:
-        acc = jnp.einsum("pcb,pb->cb", fdl, ir_spec)
+        acc = jnp.einsum("pcb,pb->cb", fdl, ir_spec, precision=hi)
     else:
-        acc = jnp.einsum("pcb,pcb->cb", fdl, ir_spec)
+        acc = jnp.einsum("pcb,pcb->cb", fdl, ir_spec, precision=hi)
     y = jnp.fft.irfft(acc, n=2 * B, axis=-1)[:, B:]  # overlap-save: keep tail half
     # `prev` must hold the last B samples of the *valid* stream; with
     # mid-stream partial blocks we shift by `frames` like the FIR tail.

