@@ -47,6 +47,8 @@ from pipe_tpu.components import (
 )
 from pipe_tpu.graph import Line, Processors
 from pipe_tpu.runtime import Pipe, run, wait
+from pipe_tpu.profiling import StatsRecorder, trace
+from pipe_tpu import checkpoint
 
 __version__ = "0.1.0"
 
@@ -73,4 +75,7 @@ __all__ = [
     "Pipe",
     "run",
     "wait",
+    "StatsRecorder",
+    "trace",
+    "checkpoint",
 ]

@@ -50,13 +50,14 @@ def run_executor(executor, cancel=None) -> None:
         raise ErrorRun(err_exec, err_flush)
 
 
-def run(block_size: int, *lines: Line) -> None:
+def run(block_size: int, *lines: Line, stats=None) -> None:
     """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
     every line is forced into one shared mutable context and round-robined by
-    a single :class:`MultiLineExecutor` in the calling thread."""
+    a single :class:`MultiLineExecutor` in the calling thread. ``stats`` is
+    an optional :class:`pipe_tpu.StatsRecorder`."""
     mctx = mutable.mutable()
     mle = MultiLineExecutor(context=mctx)
-    for line in lines:
+    for i, line in enumerate(lines):
         bound = Line(
             source=line.source,
             processors=line.processors,
@@ -64,5 +65,10 @@ def run(block_size: int, *lines: Line) -> None:
             context=mctx,
         )
         route = make_route(bound, block_size)  # raises AllocationError
-        mle.executors.append(LineExecutor(route, block_size))
+        ls = None
+        if stats is not None:
+            ls = stats.line(
+                f"line{i}", block_size, route.source.output.channels
+            )
+        mle.executors.append(LineExecutor(route, block_size, stats=ls))
     run_executor(mle)

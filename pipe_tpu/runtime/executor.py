@@ -57,7 +57,7 @@ class LineExecutor:
     is lost or duplicated.
     """
 
-    def __init__(self, route: Route, block_size: int):
+    def __init__(self, route: Route, block_size: int, stats=None):
         self.route = route
         self.block_size = block_size
         self.started = 0  # how many components started, for rollback flush
@@ -66,6 +66,8 @@ class LineExecutor:
         # Destination assigned by the runtime for async lines (the sync-group
         # destination lives on the MultiLineExecutor).
         self.dest: Optional[mutable.Destination] = None
+        # Opt-in per-block timing (pipe_tpu.profiling.LineStats); None = off.
+        self.stats = stats
 
     # -- step construction ------------------------------------------------
 
@@ -135,6 +137,14 @@ class LineExecutor:
     def execute(self):
         """Run one block through the line. Returns :data:`EOF` when the
         stream is done, else None. Raises on component failure."""
+        if self.stats is None:
+            return self._execute()
+        from pipe_tpu.profiling import _Timer
+
+        with _Timer(self.stats):
+            return self._execute()
+
+    def _execute(self):
         src = self.route.source
         sink = self.route.sink
 

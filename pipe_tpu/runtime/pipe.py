@@ -99,10 +99,11 @@ class _Handle:
 class Pipe:
     """A graph of bound lines (``pipe.go:14-30,105-126``)."""
 
-    def __init__(self, block_size: int, *lines: Line):
+    def __init__(self, block_size: int, *lines: Line, stats=None):
         if not lines:
             raise ValueError("pipe without lines")
         self.block_size = block_size
+        self.stats = stats  # optional pipe_tpu.StatsRecorder
         self.mctx = mutable.mutable()  # the pipe's own control context
         self.pusher = mutable.Pusher()
         self.routes: List[Route] = []
@@ -126,7 +127,7 @@ class Pipe:
     def _register_route(self, route: Route) -> LineExecutor:
         idx = len(self.routes)
         self.routes.append(route)
-        le = LineExecutor(route, self.block_size)
+        le = LineExecutor(route, self.block_size, stats=self._line_stats(idx, route))
         self._exec_of_route[idx] = le
 
         if route.context.is_mutable():
@@ -149,6 +150,13 @@ class Pipe:
             for comp in route.components():
                 self.pusher.add_destination(comp.context, dest)
         return le
+
+    def _line_stats(self, idx: int, route: Route):
+        if self.stats is None:
+            return None
+        return self.stats.line(
+            f"line{idx}", self.block_size, route.source.output.channels
+        )
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -301,7 +309,9 @@ class Pipe:
                 # adopt into the running group at its next block boundary
                 idx = len(self.routes)
                 self.routes.append(route)
-                le = LineExecutor(route, self.block_size)
+                le = LineExecutor(
+                    route, self.block_size, stats=self._line_stats(idx, route)
+                )
                 self._exec_of_route[idx] = le
 
                 def adopt():
