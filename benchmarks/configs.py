@@ -56,16 +56,19 @@ def config1():
     line = pipe_tpu.Line(
         source=src.source(), sink=sink.sink(), processors=[g.processor()]
     )
-    pipe_tpu.run(block, line)  # warm the compile cache via a full run
+    pipe_tpu.run(block, line, lookahead=32)  # warm the compile cache
     src2 = mock.Source(value=1.0, channels=1, limit=blocks * block)
     sink2 = mock.Sink(discard=True)
     line2 = pipe_tpu.Line(
         source=src2.source(), sink=sink2.sink(), processors=[ops.Gain(0.5).processor()]
     )
     t0 = time.perf_counter()
-    pipe_tpu.run(block, line2)
+    pipe_tpu.run(block, line2, lookahead=32)
     dt = time.perf_counter() - t0
-    _emit("1_passthrough_gain_512", blocks * block, dt, f"{dt/blocks*1e6:.0f} us/block dispatch")
+    _emit(
+        "1_passthrough_gain_512", blocks * block, dt,
+        f"{dt/blocks*1e6:.0f} us/block dispatch, lookahead 32",
+    )
 
 
 def config2():
@@ -85,6 +88,7 @@ def config2():
             sink=sink.sink(),
             processors=[g.processor(), mx.processor()],
         ),
+        lookahead=32,
     )
     t0 = time.perf_counter()
     p.start()
@@ -146,8 +150,10 @@ def config4():
     )
     spec = jnp.asarray(partition_ir(ir, block))
     sos = jnp.asarray(
-        ops.design_peaking_eq(44100, freq=1000, q=1.0, gain_db=3.0)[None, :],
-        jnp.float32,
+        np.asarray(
+            ops.design_peaking_eq(44100, freq=1000, q=1.0, gain_db=3.0)[None, :],
+            np.float32,
+        )
     )
 
     def fn(state, x):

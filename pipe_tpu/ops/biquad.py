@@ -41,6 +41,145 @@ def _affine_combine(left, right):
     return A, u
 
 
+def _iir_sequences(a1, a2, Q: int):
+    """Length-Q impulse/boundary responses of ``y[n] = v[n] - a1 y[n-1]
+    - a2 y[n-2]`` built with one tiny scan from the TRACED coefficients:
+
+      g[i]     — response to v = delta (zero initial state)
+      alpha[i] — response to y[-1] = 1 (v = 0)
+      beta[i]  — response to y[-2] = 1 (v = 0)
+
+    Every tile of the recurrence is then EXACTLY
+    ``y = Tl @ v + y_prev1 * alpha + y_prev2 * beta`` with
+    ``Tl[i, j] = g[i-j]`` — a lower-triangular Toeplitz matmul (MXU) plus
+    rank-2 boundary terms, replacing the sequential scan.
+    """
+    # Run all three recurrences together on a (3,) carry pair (y[n-1], y[n-2]).
+    # Values at i=0:  g[0]=1 (v=delta);  alpha[0]=-a1 (y[-1]=1);
+    # beta[0]=-a2 (y[-2]=1).  Values at i=-1: g[-1]=0, alpha[-1]=y[-1]=1,
+    # beta[-1]=0 (beta's unit sits at y[-2], one step earlier).
+    one, zero = jnp.ones_like(a1), jnp.zeros_like(a1)
+    y0 = jnp.stack([one, -a1, -a2])
+    ym1 = jnp.stack([zero, one, zero])
+
+    def step(carry, _):
+        y1, y2 = carry
+        y = -a1 * y1 - a2 * y2
+        return (y, y1), y
+
+    (_, _), tail = lax.scan(step, (y0, ym1), None, length=Q - 1)
+    seqs = jnp.concatenate([y0[None], tail], axis=0)  # (Q, 3)
+    return seqs[:, 0], seqs[:, 1], seqs[:, 2]  # g, alpha, beta
+
+
+def _iir_tiles_ref(v, s, TlT, ab, Q: int):
+    """Portable tile loop (lax.scan): carry (C, 2) = (y[-1], y[-2])."""
+    C, B = v.shape
+    tiles = v.reshape(C, B // Q, Q).transpose(1, 0, 2)  # (n, C, Q)
+
+    def step(carry, vt):
+        y = jnp.dot(
+            vt, TlT, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        y = y + carry[:, 0:1] * ab[0:1, :] + carry[:, 1:2] * ab[1:2, :]
+        return jnp.stack([y[:, -1], y[:, -2]], axis=1), y
+
+    _, ys = lax.scan(step, s, tiles)
+    return ys.transpose(1, 0, 2).reshape(C, B)
+
+
+def _iir_tiles_pallas(v, s, TlT, ab, Q: int, interpret: bool = False):
+    """Pallas kernel: sequential grid over tiles, carry in VMEM scratch,
+    one (C, Q) x (Q, Q) MXU matmul per tile. TPU grids execute in order,
+    which is what makes the carried recurrence correct."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, B = v.shape
+    n = B // Q
+
+    def kernel(v_ref, t_ref, ab_ref, s0_ref, y_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[:] = s0_ref[:]
+
+        vt = v_ref[:]
+        y = jnp.dot(
+            vt, t_ref[:], preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+        y = y + carry[:, 0:1] * ab_ref[0:1, :] + carry[:, 1:2] * ab_ref[1:2, :]
+        y_ref[:] = y
+        carry[:, 0] = y[:, Q - 1]
+        carry[:, 1] = y[:, Q - 2]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((C, Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, Q), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((C, 2), jnp.float32)],
+        interpret=interpret,
+    )(v, TlT, ab, s)
+
+
+_TILE_Q = 256
+_TILE_MIN_B = 2048
+
+
+def _iir_apply(v, s, a1, a2, force: str | None = None):
+    """Dispatch the recurrence ``y[n] = v[n] - a1 y[n-1] - a2 y[n-2]``.
+
+    Large blocks take the tiled Toeplitz path (Pallas on TPU, scan of tile
+    matmuls elsewhere); small blocks keep the associative scan. ``force``
+    pins a path for tests: 'assoc' | 'tiles' | 'pallas' | 'pallas_interpret'.
+    """
+    C, B = v.shape
+    Q = _TILE_Q
+    tiled_ok = B % Q == 0 and B >= _TILE_MIN_B and C % 8 == 0
+    path = force
+    if path is None:
+        if tiled_ok:
+            path = "pallas" if jax.default_backend() == "tpu" else "tiles"
+        else:
+            path = "assoc"
+
+    if path == "assoc":
+        A = jnp.stack(
+            [jnp.stack([-a1, -a2]),
+             jnp.stack([jnp.ones_like(a1), jnp.zeros_like(a1)])]
+        )  # (2, 2)
+        us = jnp.stack([v, jnp.zeros_like(v)], axis=-1)  # (C, B, 2)
+        us_t = jnp.swapaxes(us, 0, 1)  # (B, C, 2)
+        As_b = jnp.broadcast_to(A[None, None], (B, v.shape[0], 2, 2))
+        P, q = lax.associative_scan(_affine_combine, (As_b, us_t), axis=0)
+        s_all = (
+            jnp.einsum("bcij,cj->bci", P, s, precision=lax.Precision.HIGHEST)
+            + q
+        )
+        return jnp.swapaxes(s_all[..., 0], 0, 1)  # (C, B)
+
+    g, alpha, beta = _iir_sequences(a1, a2, Q)
+    i = jnp.arange(Q)[:, None]
+    j = jnp.arange(Q)[None, :]
+    TlT = jnp.where(i <= j, g[jnp.clip(j - i, 0, Q - 1)], 0.0)  # Tl^T (Q, Q)
+    ab = jnp.stack([alpha, beta], axis=0)  # (2, Q)
+    if path == "tiles":
+        return _iir_tiles_ref(v, s, TlT, ab, Q)
+    return _iir_tiles_pallas(
+        v, s, TlT, ab, Q, interpret=(path == "pallas_interpret")
+    )
+
+
 def biquad_section_block(state, x, frames, coefs):
     """One block through one biquad section.
 
@@ -62,32 +201,16 @@ def biquad_section_block(state, x, frames, coefs):
     buf = jnp.concatenate([state["x_tail"], xm], axis=1)  # (C, B+2)
     v = b0 * buf[:, 2:] + b1 * buf[:, 1:-1] + b2 * buf[:, :-2]  # (C, B)
 
-    # Affine recurrence via associative scan over the time axis.
-    A = jnp.stack(
-        [jnp.stack([-a1, -a2]), jnp.stack([jnp.ones_like(a1), jnp.zeros_like(a1)])]
-    )  # (2, 2)
-    As = jnp.broadcast_to(A, (B, 2, 2))
-    us = jnp.stack([v, jnp.zeros_like(v)], axis=-1)  # (C, B, 2)
-
-    def combine(l, r):
-        return _affine_combine(l, r)
-
-    # scan over axis 0 => put time first: (B, C, 2)
-    us_t = jnp.swapaxes(us, 0, 1)
-    As_b = jnp.broadcast_to(As[:, None], (B, C, 2, 2))
-    P, q = lax.associative_scan(combine, (As_b, us_t), axis=0)
-    # s[n] = P[n] @ s_init + q[n]
+    # Recurrence. The carried state is s = (y[-1], y[-2]).
     s_init = state["s"]  # (C, 2)
-    s_all = (
-        jnp.einsum("bcij,cj->bci", P, s_init, precision=lax.Precision.HIGHEST)
-        + q
-    )  # (B, C, 2)
-    y = jnp.swapaxes(s_all[..., 0], 0, 1)  # (C, B)
+    y = _iir_apply(v, s_init, a1, a2)  # (C, B)
 
-    # next state: s after the last VALID frame. s_at[k] = state after k
-    # valid frames, so index by `frames` (k=0 keeps the carried state).
-    s_at = jnp.concatenate([s_init[None], s_all], axis=0)  # (B+1, C, 2)
-    new_s = lax.dynamic_index_in_dim(s_at, frames, axis=0, keepdims=False)  # (C, 2)
+    # next state: (y, y-1) after the last VALID frame. y_hist[k] = y[k-2],
+    # so the state after `frames` frames is (y_hist[frames+1], y_hist[frames])
+    # — frames=0 keeps the carried state.
+    y_hist = jnp.concatenate([s_init[:, 1:2], s_init[:, 0:1], y], axis=1)
+    pair = lax.dynamic_slice(y_hist, (0, frames), (C, 2))  # (y[f-2], y[f-1])
+    new_s = pair[:, ::-1]
     new_x_tail = lax.dynamic_slice(buf, (0, frames), (C, 2))
     return {"x_tail": new_x_tail, "s": new_s}, y
 

@@ -50,7 +50,7 @@ def run_executor(executor, cancel=None) -> None:
         raise ErrorRun(err_exec, err_flush)
 
 
-def run(block_size: int, *lines: Line, stats=None) -> None:
+def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1) -> None:
     """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
     every line is forced into one shared mutable context and round-robined by
     a single :class:`MultiLineExecutor` in the calling thread. ``stats`` is
@@ -70,5 +70,7 @@ def run(block_size: int, *lines: Line, stats=None) -> None:
             ls = stats.line(
                 f"line{i}", block_size, route.source.output.channels
             )
-        mle.executors.append(LineExecutor(route, block_size, stats=ls))
+        mle.executors.append(
+            LineExecutor(route, block_size, stats=ls, lookahead=lookahead)
+        )
     run_executor(mle)

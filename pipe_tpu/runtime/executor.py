@@ -57,7 +57,7 @@ class LineExecutor:
     is lost or duplicated.
     """
 
-    def __init__(self, route: Route, block_size: int, stats=None):
+    def __init__(self, route: Route, block_size: int, stats=None, lookahead: int = 1):
         self.route = route
         self.block_size = block_size
         self.started = 0  # how many components started, for rollback flush
@@ -68,6 +68,17 @@ class LineExecutor:
         self.dest: Optional[mutable.Destination] = None
         # Opt-in per-block timing (pipe_tpu.profiling.LineStats); None = off.
         self.stats = stats
+        # Dispatch pipelining: keep up to `lookahead` blocks in flight before
+        # forcing the EOF flag / sink output of the oldest one. JAX dispatch
+        # is async, so with lookahead > 1 the host round-trip per block
+        # overlaps with device compute — essential when the device is remote.
+        # Safe to speculate past EOF: every state update is gated on ~eof
+        # inside the jitted step, so extra blocks are no-ops. A pushed
+        # mutation still lands at a block boundary, but up to `lookahead`
+        # blocks later than the reference's next-buffer guarantee — hence
+        # the default of 1 (exact reference semantics).
+        self.lookahead = max(1, lookahead)
+        self._pending: list = []  # in-flight (out, eof) pairs, oldest first
 
     # -- step construction ------------------------------------------------
 
@@ -158,6 +169,9 @@ class LineExecutor:
         if src.feed is not None:
             data = src.feed(self.block_size)
             if data is None:
+                # host EOF: resolve everything still in flight first so the
+                # trailing blocks reach the sink, then end the stream.
+                self.drain()
                 return EOF
             data = np.asarray(data)
             if data.ndim == 1:
@@ -178,14 +192,35 @@ class LineExecutor:
         states, out, eof = self._step(self._states(), self._params(), fed)
         self._writeback(states)
 
-        is_eof = bool(eof)
-        if not is_eof and sink.receive is not None and out is not None:
-            frames = int(out.frames)
-            if frames > 0 or src.feed is not None:
-                sink.receive(np.asarray(out.data)[:, :frames])
-        if is_eof:
-            return EOF
+        self._pending.append((out, eof))
+        if len(self._pending) >= self.lookahead:
+            return self._resolve_one()
         return None
+
+    def _resolve_one(self):
+        """Force the oldest in-flight block: read its EOF flag and deliver
+        its output to a host sink."""
+        sink = self.route.sink
+        out, eof = self._pending.pop(0)
+        if bool(eof):
+            # blocks dispatched after EOF were gated no-ops — drop them
+            self._pending.clear()
+            return EOF
+        if sink.receive is not None and out is not None:
+            frames = int(out.frames)
+            if frames > 0:
+                sink.receive(np.asarray(out.data)[:, :frames])
+        return None
+
+    def drain(self):
+        """Resolve every in-flight block (normal end-of-stream and flush
+        path) so no sample is lost. Returns EOF if one was found."""
+        res = None
+        while self._pending:
+            r = self._resolve_one()
+            if r is EOF:
+                res = EOF
+        return res
 
     # -- lifecycle (reference run.go:54-74) --------------------------------
 
@@ -199,8 +234,14 @@ class LineExecutor:
 
     def flush_hook(self):
         """Flush the started components in order, collecting every error
-        (``run.go:54-62``)."""
+        (``run.go:54-62``). In-flight lookahead blocks are resolved first so
+        a clean stop never drops delivered samples (on the error/cancel path
+        resolution failures join the flush error set)."""
         errors = []
+        try:
+            self.drain()
+        except Exception as e:  # noqa: BLE001 - fan-in semantics
+            errors.append(e)
         for comp in self.route.components()[: self.started]:
             if comp.flush is not None:
                 try:

@@ -99,11 +99,14 @@ class _Handle:
 class Pipe:
     """A graph of bound lines (``pipe.go:14-30,105-126``)."""
 
-    def __init__(self, block_size: int, *lines: Line, stats=None):
+    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1):
         if not lines:
             raise ValueError("pipe without lines")
         self.block_size = block_size
         self.stats = stats  # optional pipe_tpu.StatsRecorder
+        # Blocks kept in flight per line before forcing results (dispatch
+        # pipelining; 1 = the reference's exact next-buffer semantics).
+        self.lookahead = lookahead
         self.mctx = mutable.mutable()  # the pipe's own control context
         self.pusher = mutable.Pusher()
         self.routes: List[Route] = []
@@ -127,7 +130,10 @@ class Pipe:
     def _register_route(self, route: Route) -> LineExecutor:
         idx = len(self.routes)
         self.routes.append(route)
-        le = LineExecutor(route, self.block_size, stats=self._line_stats(idx, route))
+        le = LineExecutor(
+            route, self.block_size,
+            stats=self._line_stats(idx, route), lookahead=self.lookahead,
+        )
         self._exec_of_route[idx] = le
 
         if route.context.is_mutable():
@@ -310,7 +316,8 @@ class Pipe:
                 idx = len(self.routes)
                 self.routes.append(route)
                 le = LineExecutor(
-                    route, self.block_size, stats=self._line_stats(idx, route)
+                    route, self.block_size,
+                    stats=self._line_stats(idx, route), lookahead=self.lookahead,
                 )
                 self._exec_of_route[idx] = le
 

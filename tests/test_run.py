@@ -207,3 +207,46 @@ def test_values_flow_through():
     import numpy as np
 
     np.testing.assert_allclose(snk.values, 0.5)
+
+
+def test_lookahead_preserves_stream():
+    """Dispatch pipelining (lookahead > 1) must not change counts, values,
+    or the partial-final-block protocol."""
+    import numpy as np
+
+    from pipe_tpu import mock
+    import pipe_tpu
+
+    for lookahead in (1, 4, 32):
+        src = mock.Source(value=2.5, channels=2, limit=11 * 64 + 17)
+        sink = mock.Sink()
+        pipe_tpu.run(
+            64,
+            pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+            lookahead=lookahead,
+        )
+        assert sink.samples == 11 * 64 + 17, lookahead
+        assert sink.messages == 12, lookahead
+        assert np.all(sink.values == 2.5)
+
+
+def test_lookahead_async_pipe_with_resampler(rng):
+    """Lookahead through an async pipe with variable output counts."""
+    import numpy as np
+
+    import pipe_tpu
+    from pipe_tpu import mock, ops
+
+    src = mock.Source(value=1.0, channels=1, limit=147 * 32)
+    sink = mock.Sink()
+    r = ops.Resampler(48000, 44100)
+    p = pipe_tpu.Pipe(
+        147,
+        pipe_tpu.Line(
+            source=src.source(), sink=sink.sink(), processors=[r.processor()]
+        ),
+        lookahead=8,
+    )
+    p.start()
+    p.wait(60)
+    assert sink.samples == 160 * 32
