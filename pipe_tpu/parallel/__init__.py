@@ -19,6 +19,11 @@ the TPU-native constructs:
 
 from pipe_tpu.parallel.mesh import make_mesh, CH_AXIS, TIME_AXIS
 from pipe_tpu.parallel.halo import halo_from_left, last_shard
+from pipe_tpu.parallel.distributed import (
+    initialize,
+    make_global_mesh,
+    shard_host_chunk,
+)
 from pipe_tpu.parallel.chain import (
     ShardedChain,
     GainStage,
@@ -31,6 +36,9 @@ from pipe_tpu.parallel.chain import (
 
 __all__ = [
     "make_mesh",
+    "initialize",
+    "make_global_mesh",
+    "shard_host_chunk",
     "CH_AXIS",
     "TIME_AXIS",
     "halo_from_left",

@@ -161,3 +161,28 @@ def test_validation_errors():
         )
     with pytest.raises(ValueError, match="needs 8 devices"):
         parallel.make_mesh(4, 2, devices=jax.devices()[:4])
+
+
+def test_global_mesh_and_host_sharding(rng):
+    """Single-host degenerate case of the multi-host recipe: initialize is
+    a no-op, the global mesh spans the 8 virtual devices, and
+    shard_host_chunk assembles a correctly-sharded global array."""
+    import jax
+
+    from pipe_tpu import parallel
+
+    parallel.initialize()
+    mesh = parallel.make_global_mesh(channel_shards=2, time_shards=4)
+    x = rng.standard_normal((4, 147 * 32)).astype(np.float32)
+    gx = parallel.shard_host_chunk(mesh, x)
+    assert gx.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(gx), x)
+
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.GainStage(2.0)],
+        channels=4,
+        chunk_frames=147 * 32,
+    )
+    y = chain.step(gx)
+    np.testing.assert_allclose(np.asarray(y), 2.0 * x, rtol=1e-6)
