@@ -194,22 +194,34 @@ class LineExecutor:
 
         self._pending.append((out, eof))
         if len(self._pending) >= self.lookahead:
-            return self._resolve_one()
+            # Resolve half the window in ONE host transfer: fetching each
+            # block's flag individually would cost one device->host round
+            # trip per block, which defeats the pipelining on remote TPUs.
+            return self._resolve_batch(max(1, self.lookahead // 2))
         return None
 
-    def _resolve_one(self):
-        """Force the oldest in-flight block: read its EOF flag and deliver
-        its output to a host sink."""
+    def _resolve_batch(self, k: int):
+        """Force the ``k`` oldest in-flight blocks with a single
+        ``jax.device_get``, then deliver outputs/EOF in stream order."""
         sink = self.route.sink
-        out, eof = self._pending.pop(0)
-        if bool(eof):
-            # blocks dispatched after EOF were gated no-ops — drop them
-            self._pending.clear()
-            return EOF
-        if sink.receive is not None and out is not None:
-            frames = int(out.frames)
-            if frames > 0:
-                sink.receive(np.asarray(out.data)[:, :frames])
+        batch, self._pending = self._pending[:k], self._pending[k:]
+        want_out = sink.receive is not None
+        fetched = jax.device_get(
+            [
+                (eof, out.frames, out.data) if want_out and out is not None
+                else (eof, None, None)
+                for out, eof in batch
+            ]
+        )
+        for eof, frames, data in fetched:
+            if bool(eof):
+                # blocks dispatched after EOF were gated no-ops — drop them
+                self._pending.clear()
+                return EOF
+            if want_out and data is not None:
+                n = int(frames)
+                if n > 0:
+                    sink.receive(data[:, :n])
         return None
 
     def drain(self):
@@ -217,7 +229,7 @@ class LineExecutor:
         path) so no sample is lost. Returns EOF if one was found."""
         res = None
         while self._pending:
-            r = self._resolve_one()
+            r = self._resolve_batch(len(self._pending))
             if r is EOF:
                 res = EOF
         return res
