@@ -48,6 +48,7 @@ from pipe_tpu.components import (
 from pipe_tpu.graph import Line, Processors
 from pipe_tpu.runtime import Pipe, run, wait
 from pipe_tpu.profiling import StatsRecorder, trace
+from pipe_tpu.offline import process
 from pipe_tpu import checkpoint
 
 __version__ = "0.1.0"
@@ -77,5 +78,6 @@ __all__ = [
     "wait",
     "StatsRecorder",
     "trace",
+    "process",
     "checkpoint",
 ]

@@ -347,7 +347,9 @@ class ShardedChain:
                 in_specs=(carry_specs, param_specs, x_spec),
                 out_specs=(carry_specs, y_spec),
                 check_vma=False,
-            )
+            ),
+            # the old carries are dead after each step: donate their buffers
+            donate_argnums=(0,),
         )
         self.carries = tuple(st.carry for st in self.stages)
 

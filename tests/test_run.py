@@ -250,3 +250,35 @@ def test_lookahead_async_pipe_with_resampler(rng):
     p.start()
     p.wait(60)
     assert sink.samples == 160 * 32
+
+
+def test_offline_process_matches_streaming(rng):
+    """pipe_tpu.process == the streaming runtime over the same chain."""
+    import numpy as np
+
+    import pipe_tpu
+    from pipe_tpu import ops
+
+    h = ops.design_lowpass(127, cutoff=3000, sample_rate=44100)
+    x = rng.standard_normal((2, 10_000)).astype(np.float32)
+    y = pipe_tpu.process(x, [ops.FIR(h).processor(), ops.Gain(0.5).processor()],
+                         block_size=1024)
+    import scipy.signal
+
+    ref = 0.5 * scipy.signal.lfilter(h, [1.0], x.astype(np.float64), axis=1)
+    from pipe_tpu.signal import snr_db
+
+    assert y.shape == x.shape
+    assert snr_db(ref, y) > 100
+
+
+def test_offline_process_rate_change(rng):
+    import numpy as np
+
+    import pipe_tpu
+    from pipe_tpu import ops
+
+    x = rng.standard_normal((1, 147 * 40)).astype(np.float32)
+    y = pipe_tpu.process(x, [ops.Resampler(48000, 44100).processor()],
+                         block_size=147 * 4)
+    assert y.shape == (1, 160 * 40)
