@@ -30,7 +30,7 @@ def main():
 
     channels = int(os.environ.get("BENCH_CHANNELS", "64"))
     chunk = 147 * int(os.environ.get("BENCH_CHUNK_BLOCKS", "2048"))
-    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "64"))
     warmup = 3
 
     fn, state, x = make_flagship(channels=channels, chunk=chunk)

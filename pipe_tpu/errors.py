@@ -31,10 +31,12 @@ class RunError(PipeError):
     """A component failed during execution (``run.go:192,222``)."""
 
 
-class ErrorRun(PipeError):
+class ErrorRun(RunError):
     """Execution and/or flush failed after a successful start
     (``error.go:9-44``). ``__cause__``-style chaining is preserved through the
-    stored sub-errors."""
+    stored sub-errors. Subclasses :class:`RunError` so ``except RunError``
+    catches any run-phase failure — the Python analog of the reference's
+    ``errors.Is`` unwrapping (``error.go:30-38``)."""
 
     def __init__(self, err_exec: Optional[BaseException], err_flush: Optional[BaseException]):
         self.err_exec = err_exec

@@ -11,9 +11,10 @@ Hot path (shared taps, block >= 128 frames): the signal is reframed into
 ``lax.conv_general_dilated`` with ``S`` input features, ``S`` output
 features, and ``ceil((T-1)/S)+1`` spatial taps whose kernel stacks the
 block-Toeplitz slices of the taps. XLA maps this straight onto the MXU
-(S x S contractions): measured ~8.1 Gsamples/s for 64ch x 255 taps on one
-v5e chip vs 0.79 Gsamples/s for the depthwise-conv formulation (the MXU
-needs a fat contraction dim; feature-count-1 convs run on the VPU).
+(S x S contractions): measured 15.2 Gsamples/s for 64ch x 255 taps on one
+v5e chip (S=128, marginal step time of a dispatch-pipelined loop) — the
+depthwise-conv formulation runs on the VPU (feature-count-1 convs can't
+use the MXU) and is an order of magnitude slower at this tap count.
 
 The Toeplitz kernel is built *inside* jit from the traced tap vector, so
 ``set_taps`` mutations remain retrace-free. Dynamic ``frames`` (partial
@@ -107,12 +108,12 @@ def fir_apply(tail, x, taps):
         # S x S Toeplitz overhead; per-channel taps keep the grouped conv.
         buf = jnp.concatenate([tail, x], axis=1)
         return _conv_valid(buf, jnp.flip(taps, -1))
-    # pick the frame size: biggest MXU-friendly S that divides B
-    for S in (512, 256, 128):
-        if B % S == 0:
-            break
-    else:
-        S = 128
+    # Frame size: S=128 (one MXU tile). Larger S wastes FLOPs — the
+    # Toeplitz kernel is (S, S, n_blk) but only ~T of each column is
+    # nonzero, so FLOPs/sample = 2*S*n_blk grows linearly in S while the
+    # work doesn't. Measured on v5e (64ch x 301k frames, dispatch-pipelined
+    # marginal step time): S=128 -> 15.2 Gsamp/s, S=256 -> 8.6, S=512 -> 2.7.
+    S = 128
     Bp = -(-B // S) * S
     n_blk = -(-(T - 1) // S) + 1
     pad = S * (n_blk - 1)

@@ -19,9 +19,10 @@ becomes ONE dense matmul ``y = xw @ W`` with
 ``W[j, q] = hp[(q*M) % L, K-1 + (q*M)//L - j]`` (zero outside the window) —
 a ``(K-1+G*M, G*L)`` Toeplitz-like matrix the MXU chews through. ``W`` is
 built inside jit from the traced bank, so ``hp`` mutations never retrace.
-Measured ~21x over the gather+einsum formulation at 64ch x 301k frames on a
-v5e chip (the gather materializes a (C, Bout, K) windows tensor — pure HBM
-traffic; the matmul reads each input sample once).
+Measured 7.9 Gsamples/s at 64ch x 301k frames on a v5e chip (G=1,
+marginal step time of a dispatch-pipelined loop); the gather+einsum
+fallback materializes a (C, Bout, K) windows tensor — pure HBM traffic —
+and is far slower, so it only serves partial blocks / phase offsets.
 
 The gather path remains as the general fallback for partial blocks and
 mid-stream phase offsets (a ``lax.cond`` selects per block at runtime).
@@ -92,7 +93,12 @@ def resample_apply(hist, x, hp, up: int, down: int, group: int | None = None):
         raise ValueError(f"resample_apply needs B % {M} == 0, got B={B}")
     n_cyc = B // M
     if group is None:
-        group = next(g for g in (8, 4, 2, 1) if n_cyc % g == 0)
+        # G=1 minimizes FLOPs: per input sample the dense supercycle matmul
+        # costs 2*n_blk*G*L FLOPs, linear in G (the window widens with G but
+        # the useful taps per output stay K). Measured on v5e (64ch x 301k
+        # frames, marginal step time): G=1 -> 7.9 Gsamp/s, G=2 -> 6.7,
+        # G=4 -> 3.2, G=8 -> 1.0. M=147 features already fill the MXU tile.
+        group = 1
     G = group
     GM, GL = G * M, G * L
     n_g = B // GM
