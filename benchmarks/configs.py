@@ -99,7 +99,10 @@ def config2():
     _emit("2_stereo_gain_mix_mutated", blocks * block * 2, dt, "50 live pushes")
 
 
-def _chunk_bench(name, fn, state, x, in_samples_per_step, steps=10, note=""):
+def _chunk_bench(name, fn, state, x, in_samples_per_step, steps=100, note=""):
+    # steps must be large: the final block_until_ready pays one tunnel
+    # round trip (~28 ms) regardless of compute, so short runs overstate
+    # per-step cost; state donation chains the steps so they serialize.
     step = jax.jit(fn, donate_argnums=(0,))
     state = jax.device_put(state)
     x = jax.device_put(x)
@@ -163,7 +166,7 @@ def config4():
         bq_state, y = biquad_block(bq_state, y, frames, sos)
         return (ols_state, bq_state), y
 
-    state = (ols_init_state(C, block, spec.shape[0]), biquad_init_state(C, 1))
+    state = (ols_init_state(C, block, spec.shape[1]), biquad_init_state(C, 1))
     x = jnp.asarray(rng.standard_normal((C, block)), jnp.float32)
     _chunk_bench("4_ols64k_eq_16ch", fn, state, x, C * block, note="8192-frame blocks")
 

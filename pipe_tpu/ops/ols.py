@@ -10,7 +10,11 @@ classical UPOLS structure; state is the FDL plus the previous input block,
 which is exactly the halo exchanged between devices when time-blocks are
 sharded.
 
-All spectra are complex64; XLA lowers the FFTs natively on TPU.
+Spectra are carried as **separate float32 re/im planes**, not complex64:
+XLA lowers the FFTs natively on TPU, but generic complex arithmetic is a
+second-class citizen (and unimplemented on some TPU runtimes); the complex
+multiply-accumulate expands to real einsums that ride the MXU, and complex
+values exist only across the rfft -> irfft boundary.
 """
 
 from __future__ import annotations
@@ -24,11 +28,11 @@ from pipe_tpu.signal import Signal
 
 
 def partition_ir(ir: np.ndarray, block_size: int) -> np.ndarray:
-    """Split + transform an IR into partition spectra.
+    """Split + transform an IR into partition spectra planes.
 
     ``ir``: (P,) shared or (C, P) per-channel float.
-    Returns complex64 array (n_parts, bins) or (n_parts, C, bins) with
-    ``bins = block_size + 1`` (rfft of 2B-padded partitions).
+    Returns float32 array (2, n_parts, bins) or (2, n_parts, C, bins) —
+    re/im planes of the rfft of 2B-padded partitions, ``bins = B + 1``.
     """
     ir = np.asarray(ir, np.float64)
     shared = ir.ndim == 1
@@ -41,18 +45,19 @@ def partition_ir(ir: np.ndarray, block_size: int) -> np.ndarray:
     padded[:, :P] = ir
     parts = padded.reshape(C, n_parts, B).transpose(1, 0, 2)  # (n_parts, C, B)
     spec = np.fft.rfft(np.concatenate([parts, np.zeros_like(parts)], axis=-1), axis=-1)
-    spec = spec.astype(np.complex64)  # (n_parts, C, bins)
+    planes = np.stack([spec.real, spec.imag]).astype(np.float32)
     if shared:
-        return spec[:, 0, :]
-    return spec
+        return planes[:, :, 0, :]  # (2, n_parts, bins)
+    return planes  # (2, n_parts, C, bins)
 
 
 def ols_init_state(channels: int, block_size: int, n_parts: int):
-    """Zero state: previous input block + frequency-domain delay line."""
+    """Zero state: previous input block + frequency-domain delay line
+    (re/im planes)."""
     bins = block_size + 1
     return {
         "prev": jnp.zeros((channels, block_size), jnp.float32),
-        "fdl": jnp.zeros((n_parts, channels, bins), jnp.complex64),
+        "fdl": jnp.zeros((2, n_parts, channels, bins), jnp.float32),
     }
 
 
@@ -60,11 +65,11 @@ def ols_block(state, x, frames, ir_spec):
     """One UPOLS block.
 
     Args:
-      state: dict with ``prev`` (C, B) and ``fdl`` (n_parts, C, bins).
+      state: dict with ``prev`` (C, B) and ``fdl`` (2, n_parts, C, bins).
       x: (C, B) input block, valid up to ``frames``.
       frames: traced int32.
-      ir_spec: (n_parts, bins) shared or (n_parts, C, bins) per-channel
-        partition spectra (complex64).
+      ir_spec: (2, n_parts, bins) shared or (2, n_parts, C, bins)
+        per-channel partition spectra planes (float32, re/im).
 
     Returns (new_state, y) with y (C, B).
     """
@@ -72,13 +77,28 @@ def ols_block(state, x, frames, ir_spec):
     idx = jnp.arange(B, dtype=jnp.int32)[None, :]
     xm = jnp.where(idx < frames, x, 0.0)
     window = jnp.concatenate([state["prev"], xm], axis=1)  # (C, 2B)
-    X = jnp.fft.rfft(window, axis=-1).astype(jnp.complex64)  # (C, bins)
-    fdl = jnp.concatenate([X[None], state["fdl"][:-1]], axis=0)
+    X = jnp.fft.rfft(window, axis=-1)  # (C, bins) complex64
+    Xp = jnp.stack([jnp.real(X), jnp.imag(X)])  # (2, C, bins) float32
+    fdl = jnp.concatenate([Xp[:, None], state["fdl"][:, :-1]], axis=1)
     hi = jax.lax.Precision.HIGHEST
-    if ir_spec.ndim == 2:
-        acc = jnp.einsum("pcb,pb->cb", fdl, ir_spec, precision=hi)
-    else:
-        acc = jnp.einsum("pcb,pcb->cb", fdl, ir_spec, precision=hi)
+    fr, fi = fdl[0], fdl[1]  # (n_parts, C, bins)
+    if ir_spec.ndim == 3:  # shared IR: (2, n_parts, bins)
+        hr, hi_ = ir_spec[0], ir_spec[1]
+        acc_re = jnp.einsum("pcb,pb->cb", fr, hr, precision=hi) - jnp.einsum(
+            "pcb,pb->cb", fi, hi_, precision=hi
+        )
+        acc_im = jnp.einsum("pcb,pb->cb", fr, hi_, precision=hi) + jnp.einsum(
+            "pcb,pb->cb", fi, hr, precision=hi
+        )
+    else:  # per-channel IR: (2, n_parts, C, bins)
+        hr, hi_ = ir_spec[0], ir_spec[1]
+        acc_re = jnp.einsum("pcb,pcb->cb", fr, hr, precision=hi) - jnp.einsum(
+            "pcb,pcb->cb", fi, hi_, precision=hi
+        )
+        acc_im = jnp.einsum("pcb,pcb->cb", fr, hi_, precision=hi) + jnp.einsum(
+            "pcb,pcb->cb", fi, hr, precision=hi
+        )
+    acc = jax.lax.complex(acc_re, acc_im)
     y = jnp.fft.irfft(acc, n=2 * B, axis=-1)[:, B:]  # overlap-save: keep tail half
     # `prev` must hold the last B samples of the *valid* stream; with
     # mid-stream partial blocks we shift by `frames` like the FIR tail.
@@ -101,12 +121,12 @@ class OLSConvolve:
         def alloc(mctx, block_size, props):
             self.context = mctx
             spec = jnp.asarray(partition_ir(self._ir, block_size))
-            if spec.ndim == 3 and spec.shape[1] != props.channels:
+            if spec.ndim == 4 and spec.shape[2] != props.channels:
                 raise ValueError(
-                    f"per-channel IR for {spec.shape[1]} channels, "
+                    f"per-channel IR for {spec.shape[2]} channels, "
                     f"line has {props.channels}"
                 )
-            n_parts = spec.shape[0]
+            n_parts = spec.shape[1]
 
             def step(state, params, sig: Signal):
                 new_state, y = ols_block(
