@@ -10,9 +10,12 @@ steady state on one chip. The reference publishes no performance numbers
 the multiple of REAL-TIME for this chain (64 ch x 44100 Hz = 2.8224 Msamples/s)
 — i.e. how many live 64-channel pipelines one chip can sustain.
 
-Chunks are device-resident and steps are dispatched back-to-back without
-host syncs (state carries the dependency chain), so dispatch latency over
-the TPU tunnel overlaps with compute.
+Methodology: steps chain through carried state (donated), so they serialize
+on-device without host syncs; each timed run ends with a scalar readback
+probe that forces completion (``block_until_ready`` alone does not reliably
+wait on tunneled TPU runtimes). The reported time is the MARGINAL slope
+between a short and a long run, which cancels the fixed dispatch/readback
+round trip (~28 ms over the tunnel).
 """
 
 from __future__ import annotations
@@ -30,28 +33,31 @@ def main():
 
     channels = int(os.environ.get("BENCH_CHANNELS", "64"))
     chunk = 147 * int(os.environ.get("BENCH_CHUNK_BLOCKS", "2048"))
-    steps = int(os.environ.get("BENCH_STEPS", "64"))
-    warmup = 3
+    n_long = int(os.environ.get("BENCH_STEPS", "64"))
+    n_short = max(2, n_long // 8)
 
     fn, state, x = make_flagship(channels=channels, chunk=chunk)
     step = jax.jit(fn, donate_argnums=(0,))
+    probe = jax.jit(lambda s, y: y[0, -1] + s[0][0, 0])
 
     x = jax.device_put(x)
     state = jax.device_put(state)
 
-    # warmup / compile
-    for _ in range(warmup):
+    # warmup / compile (includes the probe)
+    for _ in range(3):
         state, y = step(state, x)
-    jax.block_until_ready((state, y))
+    float(probe(state, y))
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, y = step(state, x)
-    jax.block_until_ready((state, y))
-    dt = time.perf_counter() - t0
+    times = {}
+    for n in (n_short, n_long):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, y = step(state, x)
+        float(probe(state, y))  # forces the whole chain via the state dep
+        times[n] = time.perf_counter() - t0
+    dt = (times[n_long] - times[n_short]) / (n_long - n_short)
 
-    in_samples = steps * chunk * channels
-    sps = in_samples / dt
+    sps = chunk * channels / dt
     realtime = channels * SAMPLE_RATE
     print(
         json.dumps(

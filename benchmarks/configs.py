@@ -99,22 +99,29 @@ def config2():
     _emit("2_stereo_gain_mix_mutated", blocks * block * 2, dt, "50 live pushes")
 
 
-def _chunk_bench(name, fn, state, x, in_samples_per_step, steps=100, note=""):
-    # steps must be large: the final block_until_ready pays one tunnel
-    # round trip (~28 ms) regardless of compute, so short runs overstate
-    # per-step cost; state donation chains the steps so they serialize.
+def _chunk_bench(name, fn, state, x, in_samples_per_step, steps=64, note=""):
+    # Methodology (same as bench.py): steps chain through donated state so
+    # they serialize on-device; each timed run ends with a scalar readback
+    # that forces completion (block_until_ready alone does not reliably
+    # wait on tunneled TPU runtimes); report the marginal slope between a
+    # short and a long run to cancel the fixed ~28 ms round trip.
     step = jax.jit(fn, donate_argnums=(0,))
+    probe = jax.jit(lambda y: jnp.ravel(y)[-1])
     state = jax.device_put(state)
     x = jax.device_put(x)
     for _ in range(3):
         state, y = step(state, x)
-    jax.block_until_ready((state, y))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, y = step(state, x)
-    jax.block_until_ready((state, y))
-    dt = time.perf_counter() - t0
-    _emit(name, steps * in_samples_per_step, dt, note)
+    float(probe(y))
+    n_short = max(2, steps // 8)
+    times = {}
+    for n in (n_short, steps):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, y = step(state, x)
+        float(probe(y))
+        times[n] = time.perf_counter() - t0
+    dt = (times[steps] - times[n_short]) / (steps - n_short)
+    _emit(name, in_samples_per_step, dt, note)
 
 
 def config3():
@@ -195,18 +202,21 @@ def config5():
     x = jnp.asarray(
         np.random.default_rng(2).standard_normal((C, chunk)), jnp.float32
     )
+    probe = jax.jit(lambda y: y[0, -1])
     for _ in range(3):
         y = chain.step(x)
-    jax.block_until_ready(y)
-    steps = 8
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        y = chain.step(x)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
+    float(probe(y))
+    times = {}
+    for steps in (8, 64):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            y = chain.step(x)
+        float(probe(y))  # forces the whole run via the carry chain
+        times[steps] = time.perf_counter() - t0
+    dt = (times[64] - times[8]) / 56
     _emit(
         "5_sharded_64ch_mix",
-        steps * C * chunk,
+        C * chunk,
         dt,
         f"mesh {ch}x{t} over {n} device(s)",
     )

@@ -169,10 +169,16 @@ class OLSStage(Stage):
                 "use a larger chunk or fewer time shards"
             )
         F = 1 << int(np.ceil(np.log2(Pn + n_local)))
-        spec = np.fft.rfft(self._ir, n=F).astype(np.complex64)
+        # re/im planes, not complex64: generic complex arithmetic is
+        # unimplemented on some TPU runtimes (see pipe_tpu.ops.ols)
+        spec = np.fft.rfft(self._ir, n=F)
         self._F = F
         self.carry = {"hist": jnp.zeros((c_global, Pn), jnp.float32)}
-        self.params = {"ir_f": jnp.asarray(spec)}
+        self.params = {
+            "ir_f": jnp.asarray(
+                np.stack([spec.real, spec.imag]).astype(np.float32)
+            )
+        }
         self.carry_spec = {"hist": P(CH_AXIS, None)}
         self.param_spec = {"ir_f": P()}
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
@@ -183,7 +189,10 @@ class OLSStage(Stage):
         left = halo_from_left(x, Pn, TIME_AXIS, carry["hist"])
         w = jnp.concatenate([left, x], axis=1)  # (C, Pn+N)
         W = jnp.fft.rfft(w, n=self._F, axis=-1)
-        y = jnp.fft.irfft(W * params["ir_f"][None, :], n=self._F, axis=-1)
+        Wr, Wi = jnp.real(W), jnp.imag(W)
+        hr, hi = params["ir_f"][0][None, :], params["ir_f"][1][None, :]
+        Y = jax.lax.complex(Wr * hr - Wi * hi, Wr * hi + Wi * hr)
+        y = jnp.fft.irfft(Y, n=self._F, axis=-1)
         y = y[:, Pn : Pn + N].astype(jnp.float32)
         new_hist = last_shard(x[:, -Pn:], TIME_AXIS)
         return {"hist": new_hist}, y
