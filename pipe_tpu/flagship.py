@@ -24,13 +24,18 @@ RS_K = 32  # taps per polyphase phase
 SAMPLE_RATE = 44100.0
 
 
-def make_flagship(channels: int = 64, chunk: int = 147 * 64, mix_out: int = 2):
+def make_flagship(
+    channels: int = 64, chunk: int = 147 * 64, mix_out: int = 2,
+    fused: bool = True,
+):
     """Build ``(fn, init_state, example_x)``.
 
     ``fn(state, x) -> (state, y)`` processes one ``(channels, chunk)`` input
-    chunk into ``(mix_out, chunk*160//147)`` output, carrying FIR tail and
-    resampler history. ``chunk`` must be a multiple of 147 so the resampler
-    emits a static output count.
+    chunk into ``(mix_out, chunk*160//147)`` output, carrying filter
+    history. ``chunk`` must be a multiple of 147 so the resampler emits a
+    static output count. ``fused=True`` (default) runs FIR+resample as one
+    combined polyphase bank (``pipe_tpu.ops.fused``, ~8% faster: one fewer
+    HBM round trip); ``fused=False`` keeps the two-stage path.
     """
     if chunk % RS_DOWN:
         raise ValueError(f"chunk must be a multiple of {RS_DOWN}")
@@ -38,25 +43,41 @@ def make_flagship(channels: int = 64, chunk: int = 147 * 64, mix_out: int = 2):
     hp = jnp.asarray(polyphase_design(RS_UP, RS_DOWN, RS_K), jnp.float32)
     mix = jnp.asarray(np.ones((mix_out, channels)) / channels, jnp.float32)
 
-    def fn(state, x):
-        fir_tail, rs_hist = state
-        y = fir_apply(fir_tail, x, h)
-        fir_tail2 = x[:, -(FIR_TAPS - 1):]
+    if fused:
+        from pipe_tpu.ops.fused import fused_apply
 
-        # polyphase resample, phase 0 at every chunk boundary (chunk % 147 == 0)
-        z = resample_apply(rs_hist, y, hp, RS_UP, RS_DOWN)
-        rs_hist2 = y[:, -(RS_K - 1):]
+        Kc = RS_K + FIR_TAPS - 1
 
-        out = jnp.dot(
-            mix, z, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        def fn(state, x):
+            (hist,) = state
+            z = fused_apply(hist, x, h, hp, RS_UP, RS_DOWN)
+            out = jnp.dot(
+                mix, z, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (x[:, -(Kc - 1):],), out
+
+        init_state = (jnp.zeros((channels, Kc - 1), jnp.float32),)
+    else:
+        def fn(state, x):
+            fir_tail, rs_hist = state
+            y = fir_apply(fir_tail, x, h)
+            fir_tail2 = x[:, -(FIR_TAPS - 1):]
+
+            # polyphase resample, phase 0 at every chunk boundary
+            z = resample_apply(rs_hist, y, hp, RS_UP, RS_DOWN)
+            rs_hist2 = y[:, -(RS_K - 1):]
+
+            out = jnp.dot(
+                mix, z, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (fir_tail2, rs_hist2), out
+
+        init_state = (
+            fir_init_tail(channels, FIR_TAPS),
+            jnp.zeros((channels, RS_K - 1), jnp.float32),
         )
-        return (fir_tail2, rs_hist2), out
-
-    init_state = (
-        fir_init_tail(channels, FIR_TAPS),
-        jnp.zeros((channels, RS_K - 1), jnp.float32),
-    )
     rng = np.random.default_rng(0)
     example_x = jnp.asarray(
         rng.standard_normal((channels, chunk)), jnp.float32

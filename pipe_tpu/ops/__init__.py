@@ -22,6 +22,7 @@ from pipe_tpu.ops.resample import Resampler, polyphase_design
 from pipe_tpu.ops.ols import OLSConvolve, ols_init_state, ols_block
 from pipe_tpu.ops.biquad import Biquad, biquad_block, design_peaking_eq
 from pipe_tpu.ops.demod import Oscillator, IQMix, EnvelopeDetector, am_demod_factory
+from pipe_tpu.ops.fused import FIRResampler, combine_bank, fused_apply
 
 __all__ = [
     "Gain",
@@ -44,4 +45,7 @@ __all__ = [
     "IQMix",
     "EnvelopeDetector",
     "am_demod_factory",
+    "FIRResampler",
+    "combine_bank",
+    "fused_apply",
 ]

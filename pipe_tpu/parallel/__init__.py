@@ -28,6 +28,7 @@ from pipe_tpu.parallel.chain import (
     ShardedChain,
     GainStage,
     FIRStage,
+    FIRResampleStage,
     OLSStage,
     ResampleStage,
     BiquadStage,
@@ -46,6 +47,7 @@ __all__ = [
     "ShardedChain",
     "GainStage",
     "FIRStage",
+    "FIRResampleStage",
     "OLSStage",
     "ResampleStage",
     "BiquadStage",

@@ -151,6 +151,52 @@ class ResampleStage(Stage):
         return {"hist": new_hist}, y
 
 
+class FIRResampleStage(Stage):
+    """Fused FIR + polyphase resample (see ``pipe_tpu.ops.fused``): one
+    combined bank, one supercycle matmul, one halo of ``K + T - 2``
+    samples instead of two stages with two halos."""
+
+    def __init__(self, taps, up: int, down: int, taps_per_phase: int = 32):
+        from pipe_tpu.ops.resample import _reduce_ratio, polyphase_design
+
+        self._taps = jnp.asarray(taps, jnp.float32)
+        if self._taps.ndim != 1:
+            raise ValueError("FIRResampleStage uses shared (T,) taps")
+        self.up, self.down = _reduce_ratio(up, down)
+        self.K = taps_per_phase
+        self._hp = jnp.asarray(
+            polyphase_design(self.up, self.down, taps_per_phase), jnp.float32
+        )
+
+    def build(self, c_global, c_local, n_local):
+        L, M = self.up, self.down
+        Kc = self.K + self._taps.shape[0] - 1
+        if (n_local * L) % M != 0:
+            raise ValueError(
+                f"FIRResampleStage needs N_local*{L} divisible by {M}; "
+                f"got N_local={n_local}"
+            )
+        if Kc - 1 > n_local:
+            raise ValueError("fused halo exceeds local chunk")
+        self.carry = {"hist": jnp.zeros((c_global, Kc - 1), jnp.float32)}
+        self.params = {"taps": self._taps, "hp": self._hp}
+        self.carry_spec = {"hist": P(CH_AXIS, None)}
+        self.param_spec = {"taps": P(), "hp": P()}
+        self.out_c_global, self.out_c_local = c_global, c_local
+        self.out_n_local = n_local * L // M
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.fused import combine_bank
+
+        L, M = self.up, self.down
+        Kc = self.K + params["taps"].shape[0] - 1
+        hc = combine_bank(params["taps"], params["hp"])
+        left = halo_from_left(x, Kc - 1, TIME_AXIS, carry["hist"])
+        y = resample_apply(left, x, hc, L, M)
+        new_hist = last_shard(x[:, -(Kc - 1):], TIME_AXIS)
+        return {"hist": new_hist}, y
+
+
 class OLSStage(Stage):
     """Chunk-granular overlap-save FFT convolution: each device convolves
     [P-sample halo, local chunk] with one FFT sized to the next power of two

@@ -368,3 +368,68 @@ def test_biquad_large_block_tiled_streaming(rng):
     out = stream_through([ops.Biquad(sos).processor()], x, block=2048)
     ref = scipy.signal.sosfilt(sos[None, :], x.astype(np.float64), axis=1)
     assert snr_db(ref, out) > 90
+
+
+# -- fused FIR + resampler -----------------------------------------------------
+
+
+def test_fused_fir_resampler_matches_sequential(rng):
+    """FIRResampler output == FIR then Resampler, streamed (fusion identity)."""
+    C, N, block = 2, 147 * 30, 588
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    h = ops.design_lowpass(255, 4000.0, 44100.0)
+
+    fir = ops.FIR(h)
+    rs = ops.Resampler(160, 147)
+    y_seq = stream_through([fir.processor(), rs.processor()], x, block)
+
+    fused = ops.FIRResampler(h, 160, 147)
+    y_fused = stream_through([fused.processor()], x, block)
+
+    assert y_fused.shape == y_seq.shape
+    assert snr_db(y_seq, y_fused) >= SNR_TARGET
+
+
+def test_fused_fir_resampler_output_rate():
+    fused = ops.FIRResampler(ops.design_lowpass(31, 4000.0, 44100.0), 48000, 44100)
+    alloc = fused.processor()
+    from pipe_tpu import mutable
+    from pipe_tpu.signal import SignalProperties
+
+    comp = alloc(mutable.mutable(), 588, SignalProperties(44100.0, 2))
+    assert comp.output.sample_rate == pytest.approx(48000.0)
+
+
+def test_fused_set_taps_mutation_no_retrace(rng):
+    """Mutating the FIR taps of the fused stage changes output without
+    recompiling (params are traced inputs)."""
+    C, N, block = 1, 147 * 20, 147 * 4
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    h1 = ops.design_lowpass(63, 4000.0, 44100.0)
+    h2 = ops.design_lowpass(63, 1000.0, 44100.0)
+
+    fused = ops.FIRResampler(h1, 160, 147)
+    alloc = fused.processor()
+    from pipe_tpu import mutable
+    from pipe_tpu.signal import SignalProperties
+
+    mctx = mutable.mutable()
+    comp = alloc(mctx, block, SignalProperties(44100.0, C))
+
+    traces = [0]
+    base_step = comp.step
+
+    def counting_step(state, params, sig):
+        traces[0] += 1
+        return base_step(state, params, sig)
+
+    step = jax.jit(counting_step)
+    st = comp.state
+    sig = Signal(jnp.asarray(x[:, :block]), jnp.asarray(block, jnp.int32))
+    st, out1 = step(st, comp.params, sig)
+    n_traces = traces[0]
+
+    fused.set_taps(h2).apply()
+    st, out2 = step(st, comp.params, sig)
+    assert traces[0] == n_traces  # no retrace on mutation
+    assert not np.allclose(np.asarray(out1.data), np.asarray(out2.data))

@@ -186,3 +186,30 @@ def test_global_mesh_and_host_sharding(rng):
     )
     y = chain.step(gx)
     np.testing.assert_allclose(np.asarray(y), 2.0 * x, rtol=1e-6)
+
+
+def test_fused_fir_resample_stage_matches_two_stage(rng):
+    """FIRResampleStage == FIRStage + ResampleStage over a (2, 4) mesh."""
+    C = 4
+    x = rng.standard_normal((C, 2352 * 2)).astype(np.float32)
+    h = ops.design_lowpass(255, cutoff=4000, sample_rate=44100)
+    mesh = parallel.make_mesh(2, 4)
+
+    two = parallel.ShardedChain(
+        mesh,
+        [parallel.FIRStage(h), parallel.ResampleStage(48000, 44100)],
+        channels=C,
+        chunk_frames=2352,
+    )
+    y_two = two.process(x)
+
+    fused = parallel.ShardedChain(
+        mesh,
+        [parallel.FIRResampleStage(h, 48000, 44100)],
+        channels=C,
+        chunk_frames=2352,
+    )
+    y_fused = fused.process(x)
+
+    assert y_fused.shape == y_two.shape
+    assert snr_db(y_two, y_fused) > 100
