@@ -23,6 +23,13 @@ from pipe_tpu.ops.ols import OLSConvolve, ols_init_state, ols_block
 from pipe_tpu.ops.biquad import Biquad, biquad_block, design_peaking_eq
 from pipe_tpu.ops.demod import Oscillator, IQMix, EnvelopeDetector, am_demod_factory
 from pipe_tpu.ops.fused import FIRResampler, combine_bank, fused_apply
+from pipe_tpu.ops.dynamics import (
+    Delay,
+    Compressor,
+    NoiseGate,
+    envelope_block,
+    compressor_gain,
+)
 
 __all__ = [
     "Gain",
@@ -48,4 +55,9 @@ __all__ = [
     "FIRResampler",
     "combine_bank",
     "fused_apply",
+    "Delay",
+    "Compressor",
+    "NoiseGate",
+    "envelope_block",
+    "compressor_gain",
 ]

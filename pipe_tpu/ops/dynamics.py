@@ -1,0 +1,299 @@
+"""Time-domain dynamics ops: delay/echo, peak compressor/limiter, noise
+gate.
+
+All recurrences are expressed scan-parallel (TPU-native, no sequential
+sample loops):
+
+- The release envelope follower ``env[n] = max(|x[n]|, r * env[n-1])`` is
+  an associative recurrence over (decay, value) pairs:
+  ``(a1, m1) . (a2, m2) = (a1*a2, max(m2, m1*a2))`` — evaluated with
+  ``lax.associative_scan`` in O(log B) depth.
+- The attack smoother is a first-order linear IIR, likewise an associative
+  scan over affine (a, u) pairs.
+- Delay lines are pure state slices (no recurrence); feedback echo is a
+  block-level recurrence that requires ``delay >= block_size`` so the
+  feedback tap always reads carried state (documented constraint, checked
+  at allocation).
+
+All tunables (times, thresholds, ratios, gains) are traced parameters —
+live mutations never recompile. Coefficients like ``exp(-1/(tau*sr))`` are
+computed from the traced values inside jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from pipe_tpu.components import Processor
+from pipe_tpu.signal import Signal, SignalProperties
+
+
+def _decay_coef(time_ms, sample_rate):
+    """One-pole coefficient for a time constant in milliseconds (traced)."""
+    t = jnp.maximum(jnp.asarray(time_ms, jnp.float32), 1e-3)
+    return jnp.exp(-1000.0 / (t * sample_rate))
+
+
+def _max_decay_combine(left, right):
+    """Associative combine for ``env[n] = max(v[n], a * env[n-1])``."""
+    a1, m1 = left
+    a2, m2 = right
+    return a1 * a2, jnp.maximum(m2, m1 * a2)
+
+
+def _affine1_combine(left, right):
+    """Associative combine for ``y[n] = a y[n-1] + u[n]`` (scalars)."""
+    a1, u1 = left
+    a2, u2 = right
+    return a1 * a2, a2 * u1 + u2
+
+
+def envelope_block(env0, x_abs, frames, release_coef, attack_coef):
+    """Smoothed peak envelope over one block.
+
+    Args:
+      env0: ``(C, 2)`` carried state: (release env, smoothed env) at the
+        last valid frame of the previous block.
+      x_abs: ``(C, B)`` rectified input (|x|), garbage beyond ``frames``.
+      frames: traced int32 valid count.
+      release_coef / attack_coef: traced scalars in (0, 1).
+
+    Returns ``(new_env0, env)`` with ``env`` (C, B) the smoothed envelope.
+    """
+    C, B = x_abs.shape
+    idx = jnp.arange(B, dtype=jnp.int32)[None, :]
+    valid = idx < frames
+    xa = jnp.where(valid, x_abs, 0.0)  # invalid frames only decay
+
+    r = jnp.broadcast_to(release_coef, xa.shape)
+    # seed the scan with the carried value: v[0] includes a * env0
+    seed = jnp.zeros_like(xa).at[:, 0].set(release_coef * env0[:, 0])
+    _, raw = lax.associative_scan(
+        _max_decay_combine, (r, jnp.maximum(xa, seed)), axis=1
+    )
+
+    ca = jnp.broadcast_to(attack_coef, xa.shape)
+    u = (1.0 - ca) * raw
+    u = u.at[:, 0].add(attack_coef * env0[:, 1])
+    _, env = lax.associative_scan(_affine1_combine, (ca, u), axis=1)
+
+    # carry = values at the last VALID frame (frames-1); frames >= 1 in a
+    # well-formed stream, clamp for safety
+    last = jnp.clip(frames - 1, 0, B - 1)
+    new0 = jnp.stack(
+        [jnp.take_along_axis(raw, jnp.full((C, 1), last), axis=1)[:, 0],
+         jnp.take_along_axis(env, jnp.full((C, 1), last), axis=1)[:, 0]],
+        axis=1,
+    )
+    return new0, env
+
+
+def compressor_gain(env, threshold_db, ratio, makeup_db, floor=1e-8):
+    """Hard-knee downward compression gain from a linear envelope."""
+    env_db = 20.0 * jnp.log10(jnp.maximum(env, floor))
+    over = jnp.maximum(env_db - threshold_db, 0.0)
+    # ratio may be inf (limiter): 1 - 1/ratio -> 1
+    slope = 1.0 - 1.0 / jnp.maximum(ratio, 1.0)
+    gain_db = -over * slope + makeup_db
+    return jnp.power(10.0, gain_db / 20.0)
+
+
+class Delay:
+    """Pure delay / feedback echo processor.
+
+    ``delay_frames`` of delay; ``feedback`` (traced) feeds the delayed
+    OUTPUT back (classic echo; requires ``delay_frames >= block_size``);
+    ``wet``/``dry`` (traced) mix the delayed and direct paths.
+    """
+
+    def __init__(self, delay_frames: int, feedback: float = 0.0,
+                 wet: float = 1.0, dry: float = 0.0):
+        if delay_frames < 1:
+            raise ValueError("delay_frames must be >= 1")
+        self.delay_frames = delay_frames
+        self._feedback = feedback
+        self._wet = wet
+        self._dry = dry
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        D = self.delay_frames
+        has_feedback = self._feedback != 0.0
+
+        def alloc(mctx, block_size, props: SignalProperties):
+            if has_feedback and D < block_size:
+                raise ValueError(
+                    f"feedback delay needs delay_frames >= block_size "
+                    f"({D} < {block_size}): the feedback tap must read "
+                    f"carried state, not the current block"
+                )
+            self.context = mctx
+            C = props.channels
+
+            def step(state, params, sig: Signal):
+                # The delay line carries the stream s = x + fb * s[n-D]
+                # (s = x when fb == 0). The delayed tap d[n] = s[n-D] is
+                # read entirely from carried history (D >= B when fb != 0),
+                # so no within-block recursion is needed. Output is
+                # dry * x + wet * d: pure delay at (wet=1, dry=0), classic
+                # echo at (wet, dry) of choice.
+                x = sig.data
+                B = x.shape[1]
+                idx = jnp.arange(B, dtype=jnp.int32)[None, :]
+                xm = jnp.where(idx < sig.frames, x, 0.0)
+                hist = state["hist"]  # (C, D): trailing D samples of s
+                delayed = jnp.concatenate([hist, xm], axis=1)[:, :B]
+                s = xm + params["feedback"] * delayed if has_feedback else xm
+                y = params["dry"] * xm + params["wet"] * delayed
+                buf = jnp.concatenate([hist, s], axis=1)
+                new_hist = lax.dynamic_slice(buf, (0, sig.frames), (C, D))
+                return {"hist": new_hist}, sig.with_data(y)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state={"hist": jnp.zeros((C, D), jnp.float32)},
+                params={
+                    "feedback": jnp.asarray(self._feedback, jnp.float32),
+                    "wet": jnp.asarray(self._wet, jnp.float32),
+                    "dry": jnp.asarray(self._dry, jnp.float32),
+                },
+            )
+            return self._component
+
+        return alloc
+
+    def set_feedback(self, fb):
+        v = jnp.asarray(fb, jnp.float32)
+
+        def fn():
+            self._component.set_param("feedback", v)
+
+        return self.context.mutate(fn)
+
+    def set_mix(self, wet, dry):
+        w, d = jnp.asarray(wet, jnp.float32), jnp.asarray(dry, jnp.float32)
+
+        def fn():
+            self._component.set_param("wet", w)
+            self._component.set_param("dry", d)
+
+        return self.context.mutate(fn)
+
+
+class Compressor:
+    """Peak compressor / limiter (``ratio=inf``) with attack/release
+    envelope. All parameters live-mutable without recompiles."""
+
+    def __init__(self, threshold_db: float = -18.0, ratio: float = 4.0,
+                 attack_ms: float = 5.0, release_ms: float = 120.0,
+                 makeup_db: float = 0.0):
+        self._p = dict(
+            threshold_db=threshold_db, ratio=ratio, attack_ms=attack_ms,
+            release_ms=release_ms, makeup_db=makeup_db,
+        )
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        def alloc(mctx, block_size, props: SignalProperties):
+            self.context = mctx
+            C = props.channels
+            sr = props.sample_rate
+
+            def step(state, params, sig: Signal):
+                rc = _decay_coef(params["release_ms"], sr)
+                ac = _decay_coef(params["attack_ms"], sr)
+                new0, env = envelope_block(
+                    state["env"], jnp.abs(sig.data), sig.frames, rc, ac
+                )
+                g = compressor_gain(
+                    env, params["threshold_db"], params["ratio"],
+                    params["makeup_db"],
+                )
+                return {"env": new0}, sig.with_data(sig.data * g)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state={"env": jnp.zeros((C, 2), jnp.float32)},
+                params={
+                    k: jnp.asarray(v, jnp.float32) for k, v in self._p.items()
+                },
+            )
+            return self._component
+
+        return alloc
+
+    def set(self, **kwargs):
+        """Mutate any of threshold_db / ratio / attack_ms / release_ms /
+        makeup_db."""
+        vals = {k: jnp.asarray(v, jnp.float32) for k, v in kwargs.items()}
+        unknown = set(vals) - set(self._p)
+        if unknown:
+            raise KeyError(f"unknown compressor params: {sorted(unknown)}")
+
+        def fn():
+            for k, v in vals.items():
+                self._component.set_param(k, v)
+
+        return self.context.mutate(fn)
+
+
+class NoiseGate:
+    """Downward expander gate: attenuates by ``range_db`` when the smoothed
+    envelope falls below ``threshold_db``."""
+
+    def __init__(self, threshold_db: float = -50.0, range_db: float = 80.0,
+                 attack_ms: float = 1.0, release_ms: float = 200.0):
+        self._p = dict(
+            threshold_db=threshold_db, range_db=range_db,
+            attack_ms=attack_ms, release_ms=release_ms,
+        )
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        def alloc(mctx, block_size, props: SignalProperties):
+            self.context = mctx
+            C = props.channels
+            sr = props.sample_rate
+
+            def step(state, params, sig: Signal):
+                rc = _decay_coef(params["release_ms"], sr)
+                ac = _decay_coef(params["attack_ms"], sr)
+                new0, env = envelope_block(
+                    state["env"], jnp.abs(sig.data), sig.frames, rc, ac
+                )
+                env_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-8))
+                atten = jnp.power(10.0, -params["range_db"] / 20.0)
+                g = jnp.where(env_db >= params["threshold_db"], 1.0, atten)
+                return {"env": new0}, sig.with_data(sig.data * g)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state={"env": jnp.zeros((C, 2), jnp.float32)},
+                params={
+                    k: jnp.asarray(v, jnp.float32) for k, v in self._p.items()
+                },
+            )
+            return self._component
+
+        return alloc
+
+    def set(self, **kwargs):
+        vals = {k: jnp.asarray(v, jnp.float32) for k, v in kwargs.items()}
+        unknown = set(vals) - set(self._p)
+        if unknown:
+            raise KeyError(f"unknown gate params: {sorted(unknown)}")
+
+        def fn():
+            for k, v in vals.items():
+                self._component.set_param(k, v)
+
+        return self.context.mutate(fn)

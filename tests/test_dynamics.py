@@ -1,0 +1,185 @@
+"""Dynamics ops (delay/echo, compressor, gate) vs float64 sample-loop
+oracles."""
+
+import numpy as np
+import pytest
+
+import pipe_tpu
+from pipe_tpu import ops
+from pipe_tpu.signal import snr_db
+
+from tests.test_ops import stream_through, SNR_TARGET
+
+
+def _envelope_oracle(x_abs, rc, ac, raw0=0.0, env0=0.0):
+    """Sequential float64 envelope: release max-decay + attack one-pole."""
+    raw = np.zeros_like(x_abs, dtype=np.float64)
+    env = np.zeros_like(x_abs, dtype=np.float64)
+    r, e = raw0, env0
+    for n in range(x_abs.shape[-1]):
+        r = max(x_abs[..., n], rc * r)
+        e = ac * e + (1.0 - ac) * r
+        raw[..., n], env[..., n] = r, e
+    return raw, env
+
+
+def test_pure_delay(rng):
+    C, N, block, D = 2, 4096, 512, 300
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D)
+    y = stream_through([d.processor()], x, block)
+    oracle = np.zeros_like(x)
+    oracle[:, D:] = x[:, :-D]
+    assert snr_db(oracle.astype(np.float64), y) >= SNR_TARGET
+
+
+def test_delay_wet_dry_mix(rng):
+    C, N, block, D = 1, 2048, 256, 100
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D, wet=0.4, dry=0.6)
+    y = stream_through([d.processor()], x, block)
+    delayed = np.zeros_like(x)
+    delayed[:, D:] = x[:, :-D]
+    oracle = 0.6 * x + 0.4 * delayed
+    assert snr_db(oracle.astype(np.float64), y) >= SNR_TARGET
+
+
+def test_feedback_echo(rng):
+    C, N, block, D = 1, 8192, 512, 1024
+    x = np.zeros((C, N), np.float32)
+    x[:, 0] = 1.0  # impulse -> echoes at D, 2D, 3D...
+    d = ops.Delay(D, feedback=0.5, wet=1.0, dry=1.0)
+    y = stream_through([d.processor()], x, block)
+    # oracle: s[n] = x[n] + fb*s[n-D]; out = x + s[n-D]
+    s = np.zeros(N)
+    out = np.zeros(N)
+    for n in range(N):
+        dtap = s[n - D] if n >= D else 0.0
+        s[n] = x[0, n] + 0.5 * dtap
+        out[n] = x[0, n] + dtap
+    assert snr_db(out, y[0]) >= SNR_TARGET
+    # audible check: geometric echo train
+    assert out[D] == pytest.approx(1.0)
+    assert out[2 * D] == pytest.approx(0.5)
+    assert out[3 * D] == pytest.approx(0.25)
+
+
+def test_feedback_delay_requires_long_enough_line():
+    d = ops.Delay(100, feedback=0.5)
+    from pipe_tpu import mutable
+    from pipe_tpu.signal import SignalProperties
+
+    with pytest.raises(ValueError, match="delay_frames >= block_size"):
+        d.processor()(mutable.mutable(), 512, SignalProperties(44100.0, 1))
+
+
+def test_envelope_block_matches_sequential(rng):
+    import jax
+    import jax.numpy as jnp
+    from pipe_tpu.ops.dynamics import envelope_block
+
+    C, B = 2, 1000
+    x = np.abs(rng.standard_normal((C, B))).astype(np.float32)
+    rc, ac = 0.999, 0.9
+    env0 = jnp.zeros((C, 2), jnp.float32)
+    new0, env = jax.jit(envelope_block)(
+        env0, jnp.asarray(x), jnp.asarray(B, jnp.int32),
+        jnp.asarray(rc, jnp.float32), jnp.asarray(ac, jnp.float32),
+    )
+    for c in range(C):
+        raw_o, env_o = _envelope_oracle(x[c].astype(np.float64), rc, ac)
+        assert snr_db(env_o, np.asarray(env[c])) >= 80  # f32 recursion
+        assert float(new0[c, 0]) == pytest.approx(raw_o[-1], rel=1e-4)
+        assert float(new0[c, 1]) == pytest.approx(env_o[-1], rel=1e-4)
+
+
+def test_envelope_streaming_continuity(rng):
+    """Blocked envelope == one-shot envelope (state carries across blocks)."""
+    import jax
+    import jax.numpy as jnp
+    from pipe_tpu.ops.dynamics import envelope_block
+
+    C, B = 1, 2048
+    x = np.abs(rng.standard_normal((C, B))).astype(np.float32)
+    rc = jnp.asarray(0.995, jnp.float32)
+    ac = jnp.asarray(0.8, jnp.float32)
+    f = jax.jit(envelope_block)
+
+    _, whole = f(jnp.zeros((C, 2), jnp.float32), jnp.asarray(x),
+                 jnp.asarray(B, jnp.int32), rc, ac)
+    st = jnp.zeros((C, 2), jnp.float32)
+    parts = []
+    for i in range(4):
+        blk = jnp.asarray(x[:, i * 512:(i + 1) * 512])
+        st, e = f(st, blk, jnp.asarray(512, jnp.int32), rc, ac)
+        parts.append(np.asarray(e))
+    assert snr_db(np.asarray(whole), np.concatenate(parts, axis=1)) >= 90
+
+
+def test_compressor_attenuates_above_threshold(rng):
+    C, N, block = 1, 44100, 512
+    t = np.arange(N) / 44100.0
+    x = (0.9 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None, :]
+    comp = ops.Compressor(threshold_db=-20.0, ratio=4.0,
+                          attack_ms=1.0, release_ms=100.0)
+    y = stream_through([comp.processor()], x, block)
+    # steady state: envelope ~0.9 => -0.9 dB; over = 19.1 dB; gain = -14.3 dB
+    tail_in = np.abs(x[0, -8000:]).max()
+    tail_out = np.abs(y[0, -8000:]).max()
+    gain_db = 20 * np.log10(tail_out / tail_in)
+    expect = -(20 * np.log10(0.9) + 20.0) * (1 - 1 / 4.0)  # about -14.3 dB
+    assert gain_db == pytest.approx(expect, abs=0.5)
+
+
+def test_limiter_infinite_ratio(rng):
+    C, N, block = 1, 22050, 512
+    x = (0.9 * np.ones((C, N))).astype(np.float32)
+    lim = ops.Compressor(threshold_db=-12.0, ratio=np.inf, attack_ms=0.5,
+                         release_ms=50.0)
+    y = stream_through([lim.processor()], x, block)
+    peak_db = 20 * np.log10(np.abs(y[0, -4000:]).max())
+    assert peak_db == pytest.approx(-12.0, abs=0.3)
+
+
+def test_compressor_below_threshold_unity(rng):
+    C, N, block = 1, 8192, 512
+    x = (0.01 * rng.standard_normal((C, N))).astype(np.float32)  # ~-40 dB
+    comp = ops.Compressor(threshold_db=-20.0, ratio=4.0)
+    y = stream_through([comp.processor()], x, block)
+    assert snr_db(x.astype(np.float64), y) >= 60  # ~unity passthrough
+
+
+def test_compressor_live_mutation(rng):
+    """Threshold push mid-stream takes effect without recompiling."""
+    import time
+    from pipe_tpu import mock
+
+    comp = ops.Compressor(threshold_db=0.0, ratio=np.inf, attack_ms=0.01,
+                          release_ms=0.01)
+    src = mock.Source(channels=1, value=0.5, limit=512 * 200, interval=0.002)
+    sink = mock.Sink()
+    line = pipe_tpu.Line(
+        source=src.source(),
+        processors=pipe_tpu.Processors(comp.processor()),
+        sink=sink.sink(),
+    )
+    p = pipe_tpu.Pipe(512, line)
+    p.start()
+    time.sleep(0.1)
+    p.push(comp.set(threshold_db=-20.0))  # clamp 0.5 (-6 dB) down to -20 dB
+    p.wait(60)
+    vals = sink.values[0]
+    assert vals.max() == pytest.approx(0.5, abs=1e-3)
+    assert vals.min() == pytest.approx(10 ** (-20 / 20), abs=5e-3)
+
+
+def test_noise_gate_gates_quiet_passes_loud(rng):
+    C, N, block = 1, 44100, 512
+    x = np.zeros((C, N), np.float32)
+    x[0, :20000] = 0.5  # loud
+    x[0, 30000:] = 1e-4  # quiet (-80 dB)
+    gate = ops.NoiseGate(threshold_db=-50.0, range_db=80.0,
+                         attack_ms=0.5, release_ms=5.0)
+    y = stream_through([gate.processor()], x, block)
+    assert np.abs(y[0, 1000:19000]).max() == pytest.approx(0.5, abs=1e-3)
+    assert np.abs(y[0, -4000:]).max() < 1e-7  # attenuated by 80 dB
