@@ -1,0 +1,48 @@
+"""Multi-process (multi-"host") execution over a real jax.distributed
+process group — the DCN layer tested with actual separate processes, not
+just virtual devices (SURVEY.md §2 parallelism table: cross-host = DCN via
+jax.distributed.initialize + collectives over the global mesh)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.timeout(180)
+def test_two_process_group_sharded_chain():
+    worker = os.path.join(os.path.dirname(__file__), "dcn_worker.py")
+    coord = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", coord],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out
