@@ -32,6 +32,7 @@ from pipe_tpu.parallel.chain import (
     OLSStage,
     ResampleStage,
     BiquadStage,
+    CompressorStage,
     MixStage,
 )
 
@@ -51,5 +52,6 @@ __all__ = [
     "OLSStage",
     "ResampleStage",
     "BiquadStage",
+    "CompressorStage",
     "MixStage",
 ]

@@ -301,6 +301,81 @@ class BiquadStage(Stage):
         return {"x_tail": new_x_tail, "s": new_s}, y
 
 
+class CompressorStage(Stage):
+    """Peak compressor, time-sharded. The envelope recurrences are
+    associative (``pipe_tpu.ops.dynamics``), so they extend across devices
+    exactly like the biquad: local scans, then an exclusive prefix of the
+    per-device scan totals over the time axis — once for the max-decay
+    release follower, once for the one-pole attack smoother."""
+
+    def __init__(self, threshold_db=-18.0, ratio=4.0, attack_ms=5.0,
+                 release_ms=120.0, makeup_db=0.0, sample_rate=44100.0):
+        self._p = dict(
+            threshold_db=threshold_db, ratio=ratio, attack_ms=attack_ms,
+            release_ms=release_ms, makeup_db=makeup_db,
+        )
+        self.sample_rate = float(sample_rate)
+
+    def build(self, c_global, c_local, n_local):
+        self.carry = {"env": jnp.zeros((c_global, 2), jnp.float32)}
+        self.params = {
+            k: jnp.asarray(v, jnp.float32) for k, v in self._p.items()
+        }
+        self.carry_spec = {"env": P(CH_AXIS, None)}
+        self.param_spec = {k: P() for k in self._p}
+        self.out_c_global, self.out_c_local, self.out_n_local = (
+            c_global, c_local, n_local,
+        )
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.dynamics import (
+            _decay_coef, _max_decay_combine, _affine1_combine,
+            compressor_gain,
+        )
+
+        C, N = x.shape
+        rc = _decay_coef(params["release_ms"], self.sample_rate)
+        ac = _decay_coef(params["attack_ms"], self.sample_rate)
+        xa = jnp.abs(x)
+
+        # 1) local max-decay scan, zero-seeded
+        r = jnp.broadcast_to(rc, xa.shape)
+        decay_cum, raw_loc = lax.associative_scan(
+            _max_decay_combine, (r, xa), axis=1
+        )
+        # 2) entering value via cross-device exclusive prefix of totals
+        pre_a, pre_m = exclusive_prefix(
+            TIME_AXIS, _max_decay_combine,
+            (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
+            (decay_cum[:, -1], raw_loc[:, -1]),
+        )
+        enter_raw = jnp.maximum(pre_m, carry["env"][:, 0] * pre_a)
+        # 3) correction: raw[n] = max(raw_loc[n], enter_raw * r^(n+1))
+        raw = jnp.maximum(raw_loc, enter_raw[:, None] * decay_cum)
+
+        # 4) attack smoother on corrected raw, same two-step structure
+        ca = jnp.broadcast_to(ac, xa.shape)
+        u = (1.0 - ca) * raw
+        ca_cum, env_loc = lax.associative_scan(
+            _affine1_combine, (ca, u), axis=1
+        )
+        pre_ca, pre_u = exclusive_prefix(
+            TIME_AXIS, _affine1_combine,
+            (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
+            (ca_cum[:, -1], env_loc[:, -1]),
+        )
+        enter_env = pre_ca * carry["env"][:, 1] + pre_u
+        env = env_loc + enter_env[:, None] * ca_cum
+
+        g = compressor_gain(
+            env, params["threshold_db"], params["ratio"], params["makeup_db"]
+        )
+        new_env = last_shard(
+            jnp.stack([raw[:, -1], env[:, -1]], axis=1), TIME_AXIS
+        )
+        return {"env": new_env}, x * g
+
+
 class MixStage(Stage):
     """Matrix mix with channel reduction over the mesh: ``psum`` of the
     column-sharded partial products — the on-device merged mixer sink.

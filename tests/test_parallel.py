@@ -213,3 +213,30 @@ def test_fused_fir_resample_stage_matches_two_stage(rng):
 
     assert y_fused.shape == y_two.shape
     assert snr_db(y_two, y_fused) > 100
+
+
+def test_compressor_stage_time_sharded(rng):
+    """Time-sharded compressor == single-device dynamics ops (associative
+    envelope scans extended across devices via exclusive prefix)."""
+    import jax.numpy as jnp
+    from pipe_tpu.ops.dynamics import envelope_block, compressor_gain, _decay_coef
+
+    C, chunk = 2, 4096
+    x = (rng.standard_normal((C, chunk * 2)) * 0.8).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    st = parallel.CompressorStage(threshold_db=-12.0, ratio=3.0,
+                                  attack_ms=2.0, release_ms=60.0,
+                                  sample_rate=44100.0)
+    chain = parallel.ShardedChain(mesh, [st], channels=C, chunk_frames=chunk)
+    y = chain.process(x)
+
+    # oracle: the (already unit-tested) single-device envelope machinery
+    rc = _decay_coef(jnp.asarray(60.0), 44100.0)
+    ac = _decay_coef(jnp.asarray(2.0), 44100.0)
+    env0 = jnp.zeros((C, 2), jnp.float32)
+    _, env = envelope_block(env0, jnp.abs(jnp.asarray(x)),
+                            jnp.asarray(x.shape[1], jnp.int32), rc, ac)
+    g = compressor_gain(env, jnp.asarray(-12.0), jnp.asarray(3.0),
+                        jnp.asarray(0.0))
+    oracle = np.asarray(x * np.asarray(g), np.float64)
+    assert snr_db(oracle, y) > 90
