@@ -173,6 +173,7 @@ class FIR:
         if self._init_taps.ndim not in (1, 2):
             raise ValueError("taps must be (T,) or (C, T)")
         self._component = None
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
         self.context = None
 
     def processor(self):
@@ -200,9 +201,12 @@ class FIR:
             )
             return self._component
 
+        alloc.fusion_tag = ("fir", self)
         return alloc
 
     def set_taps(self, taps):
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_taps(taps)
         t = jnp.asarray(taps, jnp.float32)
 
         def fn():

@@ -235,4 +235,5 @@ class Resampler:
             )
             return self._component
 
+        alloc.fusion_tag = ("resample", self)
         return alloc

@@ -433,3 +433,34 @@ def test_fused_set_taps_mutation_no_retrace(rng):
     st, out2 = step(st, comp.params, sig)
     assert traces[0] == n_traces  # no retrace on mutation
     assert not np.allclose(np.asarray(out1.data), np.asarray(out2.data))
+
+
+def test_optimize_fuse_line(rng):
+    """pipe_tpu.optimize.fuse collapses FIR+Resampler; output matches the
+    unfused line and set_taps on the ORIGINAL object still mutates."""
+    C, N, block = 1, 147 * 30, 588
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    h = ops.design_lowpass(101, 4000.0, 44100.0)
+
+    y_plain = stream_through(
+        [ops.FIR(h).processor(), ops.Resampler(160, 147).processor()], x, block
+    )
+
+    fir = ops.FIR(h)
+    rs = ops.Resampler(160, 147)
+    gain = ops.Gain(1.0)
+    line_procs = [fir.processor(), rs.processor(), gain.processor()]
+
+    import pipe_tpu.optimize
+    from pipe_tpu.graph import Line as _Line
+
+    line = _Line(source=None, sink=None, processors=line_procs)
+    fused_line = pipe_tpu.optimize.fuse(line)
+    assert len(fused_line.processors) == 2  # fused + gain
+
+    y_fused = stream_through(fused_line.processors, x, block)
+    assert snr_db(y_plain, y_fused) >= SNR_TARGET
+
+    # mutation path is delegated to the fused component
+    m = fir.set_taps(ops.design_lowpass(101, 1000.0, 44100.0))
+    assert m is not None
