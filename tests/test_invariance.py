@@ -62,7 +62,7 @@ def test_block_size_invariance(kind, blocks, rng):
     # IIR recursion accumulates f32 roundoff differently per tiling, so the
     # two blockings agree to ~recursion noise (the biquad's own oracle bound
     # is 80 dB); FIR/dynamics paths agree to reassociation noise only.
-    bound = 90 if kind == "biquad" else 120
+    bound = 80 if kind == "biquad" else 120
     assert snr_db(a[:, :m].astype(np.float64), b[:, :m]) >= bound
 
 
