@@ -237,3 +237,13 @@ class Resampler:
 
         alloc.fusion_tag = ("resample", self)
         return alloc
+
+    def set_bank(self, hp):
+        """Mutate the polyphase bank mid-stream (same (L, K) shape);
+        retrace-free."""
+        b = jnp.asarray(hp, jnp.float32)
+
+        def fn():
+            self._component.set_param("hp", b)
+
+        return self.context.mutate(fn)
