@@ -1,0 +1,34 @@
+"""Examples must keep running — each is exercised as a subprocess on the
+CPU backend (the reference treats runnable docs as part of the surface;
+its Example functions are compiled and run by `go test`)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+
+
+@pytest.mark.parametrize(
+    "script,expect",
+    [
+        ("reverb_file.py", "wrote"),
+        ("live_mixing_desk.py", "added live"),
+        ("mastering_chain.py", "peak after limiter"),
+    ],
+)
+def test_example_runs(script, expect, tmp_path):
+    env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
+    env["JAX_PLATFORMS"] = "cpu"
+    args = [sys.executable, os.path.join(EXAMPLES, script), "--cpu"]
+    if script == "reverb_file.py":
+        args += [str(tmp_path / "in.wav"), str(tmp_path / "out.wav")]
+    out = subprocess.run(
+        args, capture_output=True, text=True, timeout=280, env=env
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert expect in out.stdout
