@@ -87,16 +87,22 @@ class GainStage(Stage):
 
 
 class FIRStage(Stage):
-    """Shared-taps FIR with (T-1) halo. (Per-channel taps would shard the
-    taps over CH_AXIS; shared taps replicate.)"""
+    """FIR with (T-1) halo. Taps may be shared ``(T,)`` (replicated over the
+    mesh) or per-channel ``(C, T)`` (sharded over CH_AXIS with the
+    channels)."""
 
     def __init__(self, taps):
         self._taps = jnp.asarray(taps, jnp.float32)
-        if self._taps.ndim != 1:
-            raise ValueError("FIRStage uses shared (T,) taps")
+        if self._taps.ndim not in (1, 2):
+            raise ValueError("FIRStage taps must be (T,) or (C, T)")
 
     def build(self, c_global, c_local, n_local):
-        T = self._taps.shape[0]
+        T = self._taps.shape[-1]
+        if self._taps.ndim == 2 and self._taps.shape[0] != c_global:
+            raise ValueError(
+                f"per-channel taps for {self._taps.shape[0]} channels, "
+                f"chain has {c_global}"
+            )
         if T - 1 > n_local:
             raise ValueError(
                 f"FIR halo {T-1} exceeds local chunk {n_local}; "
@@ -105,11 +111,13 @@ class FIRStage(Stage):
         self.carry = {"tail": jnp.zeros((c_global, T - 1), jnp.float32)}
         self.params = {"taps": self._taps}
         self.carry_spec = {"tail": P(CH_AXIS, None)}
-        self.param_spec = {"taps": P()}
+        self.param_spec = {
+            "taps": P() if self._taps.ndim == 1 else P(CH_AXIS, None)
+        }
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
     def apply(self, carry, params, x):
-        T = params["taps"].shape[0]
+        T = params["taps"].shape[-1]
         left = halo_from_left(x, T - 1, TIME_AXIS, carry["tail"])
         y = fir_apply(left, x, params["taps"])
         new_tail = last_shard(x[:, -(T - 1):], TIME_AXIS)

@@ -240,3 +240,24 @@ def test_compressor_stage_time_sharded(rng):
                         jnp.asarray(0.0))
     oracle = np.asarray(x * np.asarray(g), np.float64)
     assert snr_db(oracle, y) > 90
+
+
+def test_fir_per_channel_taps_sharded(rng):
+    """Per-channel taps shard over CH_AXIS along with the channels."""
+    C = 4
+    T = 65
+    taps = np.stack([
+        np.asarray(ops.design_lowpass(T, 1000.0 * (c + 1), 44100.0))
+        for c in range(C)
+    ])
+    x = rng.standard_normal((C, 4096)).astype(np.float32)
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.FIRStage(taps)], channels=C, chunk_frames=2048
+    )
+    out = chain.process(x)
+    oracle = np.stack([
+        scipy.signal.lfilter(taps[c], [1.0], x[c].astype(np.float64))
+        for c in range(C)
+    ])
+    assert snr_db(oracle, out) > 100
