@@ -212,11 +212,16 @@ class OLSStage(Stage):
 
     def __init__(self, ir):
         self._ir = np.asarray(ir, np.float64)
-        if self._ir.ndim != 1:
-            raise ValueError("OLSStage uses a shared (P,) impulse response")
+        if self._ir.ndim not in (1, 2):
+            raise ValueError("OLSStage ir must be (P,) or (C, P)")
 
     def build(self, c_global, c_local, n_local):
-        Pn = self._ir.shape[0]
+        Pn = self._ir.shape[-1]
+        if self._ir.ndim == 2 and self._ir.shape[0] != c_global:
+            raise ValueError(
+                f"per-channel IR for {self._ir.shape[0]} channels, "
+                f"chain has {c_global}"
+            )
         if Pn > n_local:
             raise ValueError(
                 f"OLS halo {Pn} exceeds local chunk {n_local}; "
@@ -225,16 +230,17 @@ class OLSStage(Stage):
         F = 1 << int(np.ceil(np.log2(Pn + n_local)))
         # re/im planes, not complex64: generic complex arithmetic is
         # unimplemented on some TPU runtimes (see pipe_tpu.ops.ols)
-        spec = np.fft.rfft(self._ir, n=F)
+        spec = np.fft.rfft(self._ir, n=F, axis=-1)
         self._F = F
         self.carry = {"hist": jnp.zeros((c_global, Pn), jnp.float32)}
-        self.params = {
-            "ir_f": jnp.asarray(
-                np.stack([spec.real, spec.imag]).astype(np.float32)
-            )
-        }
+        # shared: (2, bins) replicated; per-channel: (C, 2, bins) sharded
+        # over CH_AXIS with the channels
+        planes = np.stack([spec.real, spec.imag], axis=-2).astype(np.float32)
+        self.params = {"ir_f": jnp.asarray(planes)}
         self.carry_spec = {"hist": P(CH_AXIS, None)}
-        self.param_spec = {"ir_f": P()}
+        self.param_spec = {
+            "ir_f": P() if self._ir.ndim == 1 else P(CH_AXIS, None, None)
+        }
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
     def apply(self, carry, params, x):
@@ -244,7 +250,11 @@ class OLSStage(Stage):
         w = jnp.concatenate([left, x], axis=1)  # (C, Pn+N)
         W = jnp.fft.rfft(w, n=self._F, axis=-1)
         Wr, Wi = jnp.real(W), jnp.imag(W)
-        hr, hi = params["ir_f"][0][None, :], params["ir_f"][1][None, :]
+        ir_f = params["ir_f"]
+        if ir_f.ndim == 2:  # shared (2, bins)
+            hr, hi = ir_f[0][None, :], ir_f[1][None, :]
+        else:  # per-channel (C_local, 2, bins)
+            hr, hi = ir_f[:, 0, :], ir_f[:, 1, :]
         Y = jax.lax.complex(Wr * hr - Wi * hi, Wr * hi + Wi * hr)
         y = jnp.fft.irfft(Y, n=self._F, axis=-1)
         y = y[:, Pn : Pn + N].astype(jnp.float32)

@@ -261,3 +261,19 @@ def test_fir_per_channel_taps_sharded(rng):
         for c in range(C)
     ])
     assert snr_db(oracle, out) > 100
+
+
+def test_ols_per_channel_ir_sharded(rng):
+    C = 4
+    x = rng.standard_normal((C, 4096 * 2)).astype(np.float32)
+    ir = rng.standard_normal((C, 500)) * np.exp(-np.arange(500) / 100)[None, :]
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.OLSStage(ir)], channels=C, chunk_frames=4096
+    )
+    out = chain.process(x)
+    oracle = np.stack([
+        scipy.signal.fftconvolve(x[c].astype(np.float64), ir[c])[: x.shape[1]]
+        for c in range(C)
+    ])
+    assert snr_db(oracle, out) > 100
