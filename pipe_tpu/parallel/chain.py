@@ -73,10 +73,17 @@ class GainStage(Stage):
         self._gain = gain
 
     def build(self, c_global, c_local, n_local):
+        g = jnp.asarray(self._gain, jnp.float32)
+        if g.ndim == 1 and g.shape[0] != c_global:
+            raise ValueError(
+                f"per-channel gain for {g.shape[0]} channels, "
+                f"chain has {c_global}"
+            )
         self.carry = ()
-        self.params = {"gain": jnp.asarray(self._gain, jnp.float32)}
+        self.params = {"gain": g}
         self.carry_spec = ()
-        self.param_spec = {"gain": P()}
+        # scalar gain replicates; a per-channel vector shards with the rows
+        self.param_spec = {"gain": P() if g.ndim == 0 else P(CH_AXIS)}
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
     def apply(self, carry, params, x):

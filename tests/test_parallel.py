@@ -277,3 +277,33 @@ def test_ols_per_channel_ir_sharded(rng):
         for c in range(C)
     ])
     assert snr_db(oracle, out) > 100
+
+
+def test_chain_live_param_retune_no_recompile(rng):
+    """Updating a stage's params between chunks is a live retune: params
+    are traced inputs to the jitted chunk fn, so no recompilation."""
+    import jax.numpy as jnp
+
+    C, chunk = 2, 1024
+    mesh = parallel.make_mesh(1, 4)
+    st = parallel.GainStage(1.0)
+    chain = parallel.ShardedChain(mesh, [st], channels=C, chunk_frames=chunk)
+    x = np.ones((C, chunk), np.float32)
+
+    y1 = np.asarray(chain.step(jnp.asarray(x)))
+    st.params["gain"] = jnp.asarray(0.25, jnp.float32)  # live retune
+    compiled_before = chain._step._cache_size()
+    y2 = np.asarray(chain.step(jnp.asarray(x)))
+    assert chain._step._cache_size() == compiled_before  # no recompile
+    assert np.allclose(y1, 1.0) and np.allclose(y2, 0.25)
+
+
+def test_gain_stage_per_channel_vector(rng):
+    C, chunk = 4, 1024
+    mesh = parallel.make_mesh(2, 2)
+    g = np.asarray([1.0, 2.0, 3.0, 4.0], np.float32)
+    st = parallel.GainStage(g)
+    chain = parallel.ShardedChain(mesh, [st], channels=C, chunk_frames=chunk)
+    x = np.ones((C, chunk), np.float32)
+    y = np.asarray(chain.step(x))
+    assert np.allclose(y, g[:, None])

@@ -300,3 +300,24 @@ def test_insert_multiple(pos, is_async, pipe_timeout):
     assert sink.samples == samples
     assert proc1.messages > 0
     assert proc2.messages > 0
+
+
+def test_mixed_sync_and_async_lines(pipe_timeout):
+    """One pipe mixing a sync group (shared mutable ctx) with an async line
+    (reference doc.go:23-28: modes freely mixed within one pipe)."""
+    mctx = mutable.mutable()
+    s1 = mock.Source(channels=1, value=1.0, limit=512 * 6)
+    s2 = mock.Source(channels=1, value=2.0, limit=512 * 6)
+    s3 = mock.Source(channels=1, value=3.0, limit=512 * 9)
+    k1, k2, k3 = mock.Sink(), mock.Sink(), mock.Sink()
+    p = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(source=s1.source(), sink=k1.sink(), context=mctx),
+        pipe_tpu.Line(source=s2.source(), sink=k2.sink(), context=mctx),
+        pipe_tpu.Line(source=s3.source(), sink=k3.sink()),  # async
+    )
+    p.start()
+    p.wait(pipe_timeout)
+    assert k1.values.shape == (1, 512 * 6) and np.allclose(k1.values, 1.0)
+    assert k2.values.shape == (1, 512 * 6) and np.allclose(k2.values, 2.0)
+    assert k3.values.shape == (1, 512 * 9) and np.allclose(k3.values, 3.0)
