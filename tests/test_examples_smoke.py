@@ -19,11 +19,14 @@ EXAMPLES = os.path.join(
         ("reverb_file.py", "wrote"),
         ("live_mixing_desk.py", "added live"),
         ("mastering_chain.py", "peak after limiter"),
+        ("sharded_flagship.py", "retuned threshold"),
     ],
 )
 def test_example_runs(script, expect, tmp_path):
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
     env["JAX_PLATFORMS"] = "cpu"
+    if script == "sharded_flagship.py":
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     args = [sys.executable, os.path.join(EXAMPLES, script), "--cpu"]
     if script == "reverb_file.py":
         args += [str(tmp_path / "in.wav"), str(tmp_path / "out.wav")]
