@@ -506,7 +506,23 @@ class ShardedChain:
             # the old carries are dead after each step: donate their buffers
             donate_argnums=(0,),
         )
-        self.carries = tuple(st.carry for st in self.stages)
+        # place the initial carries with their run-time sharding so the very
+        # first step's donation can alias them (a freshly-created unsharded
+        # array cannot back a sharded output buffer)
+        from jax.sharding import NamedSharding
+
+        def _place(carry, spec_tree):
+            leaves, treedef = jax.tree.flatten(carry)
+            specs = treedef.flatten_up_to(spec_tree)
+            placed = [
+                jax.device_put(l, NamedSharding(mesh, s))
+                for l, s in zip(leaves, specs)
+            ]
+            return jax.tree.unflatten(treedef, placed)
+
+        self.carries = tuple(
+            _place(st.carry, st.carry_spec) for st in self.stages
+        )
 
     def params(self):
         return tuple(st.params for st in self.stages)

@@ -19,7 +19,6 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.timeout(180)
 def test_two_process_group_sharded_chain():
     worker = os.path.join(os.path.dirname(__file__), "dcn_worker.py")
     coord = f"127.0.0.1:{_free_port()}"

@@ -11,7 +11,6 @@ import pipe_tpu
 from pipe_tpu import mock, ops
 
 
-@pytest.mark.timeout(300)
 def test_soak_mutations_and_surgery(rng):
     """Run ~200 blocks while pushing dozens of mutations, inserting two
     processors, and adding a line mid-flight; assert stream integrity."""
