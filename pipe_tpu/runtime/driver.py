@@ -50,11 +50,15 @@ def run_executor(executor, cancel=None) -> None:
         raise ErrorRun(err_exec, err_flush)
 
 
-def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1) -> None:
+def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
+        cancel=None) -> None:
     """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
     every line is forced into one shared mutable context and round-robined by
     a single :class:`MultiLineExecutor` in the calling thread. ``stats`` is
-    an optional :class:`pipe_tpu.StatsRecorder`."""
+    an optional :class:`pipe_tpu.StatsRecorder`; ``cancel`` an optional
+    ``threading.Event`` — setting it (e.g. from another thread or a signal
+    handler) stops the run at the next block boundary with flush hooks run,
+    the analog of the reference's ctx argument (``pipe.go:90``)."""
     mctx = mutable.mutable()
     mle = MultiLineExecutor(context=mctx)
     for i, line in enumerate(lines):
@@ -73,4 +77,4 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1) -> None:
         mle.executors.append(
             LineExecutor(route, block_size, stats=ls, lookahead=lookahead)
         )
-    run_executor(mle)
+    run_executor(mle, cancel=cancel)

@@ -276,6 +276,19 @@ class Pipe:
             raise RuntimeError("pipe isn't running")
         self._mutations_q.put(list(mutations))
 
+    def stop(self, timeout: Optional[float] = None) -> None:
+        """Cooperatively cancel a running pipe — the analog of cancelling
+        the context passed to ``Start`` (``pipe.go:198-199, 230-239``):
+        every executor exits at its next block boundary, flush hooks run
+        for all started components, and the call returns without error
+        (raising instead if a component failed first). No-op when not
+        running; an unbounded (no-limit) pipeline must be stopped this way.
+        """
+        if not self._running:
+            return
+        self._cancel.set()
+        self.wait(timeout)
+
     def wait(self, timeout: Optional[float] = None) -> None:
         """Block until all executors finish; raise the first error
         (``pipe.go:249-257``)."""

@@ -321,3 +321,36 @@ def test_mixed_sync_and_async_lines(pipe_timeout):
     assert k1.values.shape == (1, 512 * 6) and np.allclose(k1.values, 1.0)
     assert k2.values.shape == (1, 512 * 6) and np.allclose(k2.values, 2.0)
     assert k3.values.shape == (1, 512 * 9) and np.allclose(k3.values, 3.0)
+
+
+def test_stop_unbounded_pipe(pipe_timeout):
+    """An unlimited source runs forever; stop() cancels at a block
+    boundary with flush hooks run (the reference's ctx cancellation)."""
+    import time
+    src = mock.Source(channels=1, value=1.0, interval=0.002)  # no limit
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+    )
+    p.start()
+    time.sleep(0.3)
+    p.stop(pipe_timeout)  # returns without error
+    out = sink.values
+    assert out.shape[1] > 0 and out.shape[1] % 512 == 0  # block-aligned
+    assert src.hooks.flushed and sink.hooks.flushed
+    p.stop()  # idempotent no-op
+
+
+def test_run_with_cancel_event():
+    import threading
+
+    cancel = threading.Event()
+    src = mock.Source(channels=1, value=1.0, interval=0.002)  # unbounded
+    sink = mock.Sink()
+    line = pipe_tpu.Line(source=src.source(), sink=sink.sink())
+    t = threading.Timer(0.3, cancel.set)
+    t.start()
+    pipe_tpu.run(512, line, cancel=cancel)  # returns once cancelled
+    assert sink.values.shape[1] > 0
+    assert src.hooks.flushed
