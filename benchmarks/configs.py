@@ -70,6 +70,29 @@ def config1():
         f"{dt/blocks*1e6:.0f} us/block dispatch, lookahead 32",
     )
 
+    # batched variant: one lax.scan dispatch per 32 blocks
+    for k in (32,):
+        srcb = mock.Source(value=1.0, channels=1, limit=blocks * block)
+        sinkb = mock.Sink(discard=True)
+        lineb = pipe_tpu.Line(
+            source=srcb.source(), sink=sinkb.sink(),
+            processors=[ops.Gain(0.5).processor()],
+        )
+        pipe_tpu.run(block, lineb, lookahead=32, batch_blocks=k)  # warm
+        srcb = mock.Source(value=1.0, channels=1, limit=blocks * block)
+        sinkb = mock.Sink(discard=True)
+        lineb = pipe_tpu.Line(
+            source=srcb.source(), sink=sinkb.sink(),
+            processors=[ops.Gain(0.5).processor()],
+        )
+        t0 = time.perf_counter()
+        pipe_tpu.run(block, lineb, lookahead=32, batch_blocks=k)
+        dt = time.perf_counter() - t0
+        _emit(
+            "1b_passthrough_gain_512_batched", blocks * block, dt,
+            f"{dt/blocks*1e6:.0f} us/block, batch_blocks {k}",
+        )
+
 
 def config2():
     """Mutation push cost: stereo gain+mix with a mid-stream gain push."""

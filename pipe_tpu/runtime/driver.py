@@ -51,14 +51,17 @@ def run_executor(executor, cancel=None) -> None:
 
 
 def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
-        cancel=None) -> None:
+        cancel=None, batch_blocks: int = 1) -> None:
     """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
     every line is forced into one shared mutable context and round-robined by
     a single :class:`MultiLineExecutor` in the calling thread. ``stats`` is
     an optional :class:`pipe_tpu.StatsRecorder`; ``cancel`` an optional
     ``threading.Event`` — setting it (e.g. from another thread or a signal
     handler) stops the run at the next block boundary with flush hooks run,
-    the analog of the reference's ctx argument (``pipe.go:90``)."""
+    the analog of the reference's ctx argument (``pipe.go:90``).
+    ``batch_blocks=k`` compiles a k-block ``lax.scan`` per dispatch for
+    device-source lines — one dispatch advances k blocks (amortizes per-call
+    overhead on remote devices; mutation granularity coarsens to k)."""
     mctx = mutable.mutable()
     mle = MultiLineExecutor(context=mctx)
     for i, line in enumerate(lines):
@@ -75,6 +78,7 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
                 f"line{i}", block_size, route.source.output.channels
             )
         mle.executors.append(
-            LineExecutor(route, block_size, stats=ls, lookahead=lookahead)
+            LineExecutor(route, block_size, stats=ls, lookahead=lookahead,
+                         batch_blocks=batch_blocks)
         )
     run_executor(mle, cancel=cancel)

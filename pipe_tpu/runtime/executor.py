@@ -57,7 +57,8 @@ class LineExecutor:
     is lost or duplicated.
     """
 
-    def __init__(self, route: Route, block_size: int, stats=None, lookahead: int = 1):
+    def __init__(self, route: Route, block_size: int, stats=None, lookahead: int = 1,
+                 batch_blocks: int = 1):
         self.route = route
         self.block_size = block_size
         self.started = 0  # how many components started, for rollback flush
@@ -78,7 +79,14 @@ class LineExecutor:
         # blocks later than the reference's next-buffer guarantee — hence
         # the default of 1 (exact reference semantics).
         self.lookahead = max(1, lookahead)
-        self._pending: list = []  # in-flight (out, eof) pairs, oldest first
+        # Dispatch batching: compile a lax.scan over `batch_blocks` blocks so
+        # ONE dispatch advances the stream by k blocks — amortizes per-call
+        # overhead (dominant on remote/tunneled devices). Only applies to
+        # device-source lines (a host `feed` callback must run per block);
+        # mutation granularity coarsens to k blocks, like lookahead. k=1 is
+        # exact reference semantics.
+        self.batch_blocks = max(1, batch_blocks)
+        self._pending: list = []  # in-flight resolution entries, oldest first
 
     # -- step construction ------------------------------------------------
 
@@ -119,8 +127,26 @@ class LineExecutor:
             out = sig if want_out else None
             return (src_state, tuple(new_proc_states), sink_state), out, eof
 
-        donate = () if has_feed else ()
-        return jax.jit(step, donate_argnums=donate)
+        k = self.batch_blocks
+        if k > 1 and not has_feed:
+            # scan k blocks per dispatch; outputs stack on a leading axis.
+            # States are gated on ~eof inside `step`, so blocks scanned past
+            # EOF are no-ops and the host drops them at resolution.
+            def scan_step(states, params, fed):
+                def body(carry, _):
+                    new_states, out, eof = step(carry, params, None)
+                    out_leaves = (
+                        (out.data, out.frames) if out is not None else ()
+                    )
+                    return new_states, (out_leaves, eof)
+
+                states, (outs, eofs) = jax.lax.scan(
+                    body, states, None, length=k
+                )
+                return states, outs, eofs
+
+            return jax.jit(scan_step)
+        return jax.jit(step)
 
     def _states(self):
         return (
@@ -188,11 +214,20 @@ class LineExecutor:
 
         if self._step is None:
             self._step = self._build_step()
+        scanned = self.batch_blocks > 1 and src.feed is None
 
         states, out, eof = self._step(self._states(), self._params(), fed)
         self._writeback(states)
 
-        self._pending.append((out, eof))
+        if scanned:
+            # out = (data[k,...], frames[k]) or (); eof = eofs[k]
+            self._pending.append((out if out else None, eof, True))
+            if self.stats is not None:
+                self.stats.blocks += self.batch_blocks - 1
+        else:
+            self._pending.append(
+                ((out.data, out.frames) if out is not None else None, eof, False)
+            )
         if len(self._pending) >= self.lookahead:
             # Resolve half the window in ONE host transfer: fetching each
             # block's flag individually would cost one device->host round
@@ -201,27 +236,36 @@ class LineExecutor:
         return None
 
     def _resolve_batch(self, k: int):
-        """Force the ``k`` oldest in-flight blocks with a single
-        ``jax.device_get``, then deliver outputs/EOF in stream order."""
+        """Force the ``k`` oldest in-flight entries with a single
+        ``jax.device_get``, then deliver outputs/EOF in stream order. An
+        entry is one block, or ``batch_blocks`` stacked blocks from a
+        scanned dispatch."""
         sink = self.route.sink
         batch, self._pending = self._pending[:k], self._pending[k:]
         want_out = sink.receive is not None
-        fetched = jax.device_get(
-            [
-                (eof, out.frames, out.data) if want_out and out is not None
-                else (eof, None, None)
-                for out, eof in batch
-            ]
-        )
-        for eof, frames, data in fetched:
-            if bool(eof):
-                # blocks dispatched after EOF were gated no-ops — drop them
-                self._pending.clear()
-                return EOF
-            if want_out and data is not None:
-                n = int(frames)
-                if n > 0:
-                    sink.receive(data[:, :n])
+        fetched = jax.device_get([(out, eof) for out, eof, _ in batch])
+        for (out, eof), (_, _, stacked) in zip(fetched, batch):
+            if not stacked:
+                blocks = [(bool(eof), out)]
+            else:
+                n_blk = np.shape(eof)[0]
+                blocks = [
+                    (
+                        bool(eof[j]),
+                        (out[0][j], out[1][j]) if out is not None else None,
+                    )
+                    for j in range(n_blk)
+                ]
+            for done, blk in blocks:
+                if done:
+                    # blocks dispatched/scanned after EOF are gated no-ops
+                    self._pending.clear()
+                    return EOF
+                if want_out and blk is not None:
+                    data, frames = blk
+                    n = int(frames)
+                    if n > 0:
+                        sink.receive(data[:, :n])
         return None
 
     def drain(self):

@@ -99,7 +99,7 @@ class _Handle:
 class Pipe:
     """A graph of bound lines (``pipe.go:14-30,105-126``)."""
 
-    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1):
+    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1):
         if not lines:
             raise ValueError("pipe without lines")
         self.block_size = block_size
@@ -107,6 +107,7 @@ class Pipe:
         # Blocks kept in flight per line before forcing results (dispatch
         # pipelining; 1 = the reference's exact next-buffer semantics).
         self.lookahead = lookahead
+        self.batch_blocks = batch_blocks
         self.mctx = mutable.mutable()  # the pipe's own control context
         self.pusher = mutable.Pusher()
         self.routes: List[Route] = []
@@ -133,6 +134,7 @@ class Pipe:
         le = LineExecutor(
             route, self.block_size,
             stats=self._line_stats(idx, route), lookahead=self.lookahead,
+            batch_blocks=self.batch_blocks,
         )
         self._exec_of_route[idx] = le
 
@@ -331,6 +333,7 @@ class Pipe:
                 le = LineExecutor(
                     route, self.block_size,
                     stats=self._line_stats(idx, route), lookahead=self.lookahead,
+            batch_blocks=self.batch_blocks,
                 )
                 self._exec_of_route[idx] = le
 

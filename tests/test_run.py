@@ -4,6 +4,7 @@ guarantees, exact buffer-count arithmetic)."""
 
 import dataclasses
 
+import numpy as np
 import pytest
 
 import pipe_tpu
@@ -282,3 +283,59 @@ def test_offline_process_rate_change(rng):
     y = pipe_tpu.process(x, [ops.Resampler(48000, 44100).processor()],
                          block_size=147 * 4)
     assert y.shape == (1, 160 * 40)
+
+
+def test_batch_blocks_matches_unbatched(rng):
+    """batch_blocks=k (scan dispatch) produces the identical stream,
+    including EOF on a limit that is not a multiple of k*block."""
+    import pipe_tpu
+    from pipe_tpu import mock, ops
+
+    limit = 512 * 10 + 137  # partial final block, mid-scan EOF
+    outs = []
+    for k in (1, 4):
+        src = mock.Source(channels=2, value=1.0, limit=limit)
+        sink = mock.Sink()
+        fir = ops.FIR(ops.design_lowpass(63, 4000.0, 44100.0))
+        line = pipe_tpu.Line(
+            source=src.source(),
+            processors=pipe_tpu.Processors(fir.processor()),
+            sink=sink.sink(),
+        )
+        pipe_tpu.run(512, line, lookahead=4, batch_blocks=k)
+        outs.append(sink.values)
+    assert outs[0].shape == (2, limit)
+    assert outs[0].shape == outs[1].shape
+    # scan vs unrolled compile to different (equally valid) fusions, so
+    # agreement is to f32 rounding, not bit-exact
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-6)
+
+
+def test_batch_blocks_async_pipe_with_mutation(rng):
+    """Scan batching in the async Pipe: mutations still land (within k
+    blocks) and the stream completes exactly."""
+    import time as _time
+
+    import pipe_tpu
+    from pipe_tpu import mock, ops
+
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, limit=512 * 120, interval=0.002)
+    sink = mock.Sink()
+    line = pipe_tpu.Line(
+        source=src.source(),
+        processors=pipe_tpu.Processors(gain.processor()),
+        sink=sink.sink(),
+    )
+    p = pipe_tpu.Pipe(512, line, lookahead=4, batch_blocks=4)
+    p.start()
+    _time.sleep(0.2)
+    p.push(gain.set_gain(0.5))
+    p.wait(60)
+    vals = sink.values
+    assert vals.shape == (1, 512 * 120)
+    u = np.unique(np.round(vals, 6)).tolist()
+    assert 0.5 in u and 1.0 in u
+    # the switch happens at a block boundary
+    switch = np.nonzero(np.diff(vals[0]))[0]
+    assert len(switch) == 1 and (switch[0] + 1) % 512 == 0
