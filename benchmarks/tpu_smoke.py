@@ -74,6 +74,12 @@ def main():
     check("comp_gain", lambda: dyn.compressor_gain(
         jnp.abs(x), jnp.asarray(-18.0), jnp.asarray(4.0), jnp.asarray(0.0)))
 
+    from pipe_tpu.ops import channelizer as chn
+
+    gp = jnp.asarray(chn.polyphase_branches(chn.design_prototype(8, 12), 8), jnp.float32)
+    chist = jnp.zeros((C, 8 * (gp.shape[1] - 1)), jnp.float32)
+    check("channelizer", lambda: chn.channelize_block(chist, x, gp, 8)[1])
+
     from pipe_tpu.ops.demod import osc_block, _rationalize
 
     num, den = _rationalize(440.0, 44100.0)

@@ -23,6 +23,12 @@ from pipe_tpu.ops.ols import OLSConvolve, ols_init_state, ols_block
 from pipe_tpu.ops.biquad import Biquad, biquad_block, design_peaking_eq
 from pipe_tpu.ops.demod import Oscillator, IQMix, EnvelopeDetector, am_demod_factory
 from pipe_tpu.ops.fused import FIRResampler, combine_bank, fused_apply
+from pipe_tpu.ops.channelizer import (
+    Channelizer,
+    channelize_block,
+    design_prototype,
+    split_bins,
+)
 from pipe_tpu.ops.dynamics import (
     Delay,
     Compressor,
@@ -55,6 +61,10 @@ __all__ = [
     "FIRResampler",
     "combine_bank",
     "fused_apply",
+    "Channelizer",
+    "channelize_block",
+    "design_prototype",
+    "split_bins",
     "Delay",
     "Compressor",
     "NoiseGate",

@@ -464,3 +464,67 @@ def test_optimize_fuse_line(rng):
     # mutation path is delegated to the fused component
     m = fir.set_taps(ops.design_lowpass(101, 1000.0, 44100.0))
     assert m is not None
+
+
+# -- polyphase channelizer -----------------------------------------------------
+
+
+def test_channelizer_matches_direct_oracle(rng):
+    """Bank output == direct downconvert+filter+decimate in float64."""
+    from pipe_tpu.ops.channelizer import (
+        Channelizer, design_prototype, split_bins,
+    )
+
+    K, C, block = 8, 2, 512
+    N = block * 6
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    ch = Channelizer(K, taps_per_branch=12)
+    y = stream_through([ch.processor()], x, block)
+    Y = split_bins(y, K)  # (C, K//2+1, M)
+
+    h = design_prototype(K, 12)
+    xf = np.asarray(x, np.float64)
+    M = N // K
+    n = np.arange(N)
+    for k in range(K // 2 + 1):
+        down = xf * np.exp(-2j * np.pi * k * n / K)[None, :]
+        filt = np.stack([np.convolve(down[c], h)[:N] for c in range(C)])
+        # y_k[m] = sum_n x[n] h[mK - n] e^{-jwkn} = (h * down)[mK]
+        oracle = filt[:, ::K][:, :M]
+        got = Y[:, k, :M]
+        err = oracle - got
+        s = 10 * np.log10(
+            max(np.sum(np.abs(oracle) ** 2), 1e-300)
+            / max(np.sum(np.abs(err) ** 2), 1e-300)
+        )
+        assert s >= 100, f"bin {k}: {s:.1f} dB"
+
+
+def test_channelizer_sine_lands_in_one_bin(rng):
+    """A tone at bin-3 center shows up in bin 3 and nowhere else."""
+    from pipe_tpu.ops.channelizer import Channelizer, split_bins
+
+    K, block = 16, 512
+    N = block * 8
+    sr = 44100.0
+    t = np.arange(N)
+    tone = np.cos(2 * np.pi * (3.0 / K) * t).astype(np.float32)[None, :]
+    ch = Channelizer(K)
+    y = stream_through([ch.processor()], tone, block, sr=sr)
+    Y = split_bins(y, K)
+    power = np.mean(np.abs(Y[0]) ** 2, axis=1)
+    settle = Y.shape[2] // 4
+    power = np.mean(np.abs(Y[0, :, settle:]) ** 2, axis=1)
+    assert np.argmax(power) == 3
+    others = np.delete(power, 3)
+    assert power[3] > 1e4 * others.max()  # > 40 dB isolation
+
+
+def test_channelizer_block_constraint():
+    from pipe_tpu.ops.channelizer import Channelizer
+    from pipe_tpu import mutable
+    from pipe_tpu.signal import SignalProperties
+
+    ch = Channelizer(8)
+    with pytest.raises(ValueError, match="multiple of K"):
+        ch.processor()(mutable.mutable(), 500, SignalProperties(44100.0, 1))
