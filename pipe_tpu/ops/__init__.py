@@ -21,7 +21,14 @@ from pipe_tpu.ops.fir import FIR, fir_block, fir_init_tail, design_lowpass
 from pipe_tpu.ops.resample import Resampler, polyphase_design
 from pipe_tpu.ops.ols import OLSConvolve, ols_init_state, ols_block
 from pipe_tpu.ops.biquad import Biquad, biquad_block, design_peaking_eq
-from pipe_tpu.ops.demod import Oscillator, IQMix, EnvelopeDetector, am_demod_factory
+from pipe_tpu.ops.demod import (
+    Oscillator,
+    IQMix,
+    EnvelopeDetector,
+    FMDiscriminator,
+    am_demod_factory,
+    fm_demod_factory,
+)
 from pipe_tpu.ops.fused import FIRResampler, combine_bank, fused_apply
 from pipe_tpu.ops.channelizer import (
     Channelizer,
@@ -57,7 +64,9 @@ __all__ = [
     "Oscillator",
     "IQMix",
     "EnvelopeDetector",
+    "FMDiscriminator",
     "am_demod_factory",
+    "fm_demod_factory",
     "FIRResampler",
     "combine_bank",
     "fused_apply",

@@ -154,3 +154,76 @@ def am_demod_factory(carrier_hz: float, lowpass_taps) -> list:
         FIR(lowpass_taps).processor(),
         EnvelopeDetector().processor(),
     ]
+
+
+class FMDiscriminator:
+    """Quadrature FM discriminator over I/Q channel pairs:
+    ``(2C, B) -> (C, B)`` of instantaneous frequency in cycles/sample,
+
+        f[n] = atan2(I[n-1]Q[n] - Q[n-1]I[n], I[n-1]I[n] + Q[n-1]Q[n]) / 2π
+
+    — the angle of ``z[n] * conj(z[n-1])``, exact for any deviation (no
+    small-angle approximation) and elementwise on the VPU. The previous
+    I/Q sample carries across blocks, so the stream is continuous.
+    Chain ``IQMix -> FIR lowpass -> FMDiscriminator`` for a complete FM
+    receiver (see :func:`fm_demod_factory`)."""
+
+    def __init__(self):
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        def alloc(mctx, block_size, props: SignalProperties):
+            if props.channels % 2 != 0:
+                raise ValueError("FMDiscriminator expects paired I/Q channels")
+            self.context = mctx
+            half = props.channels // 2
+
+            def step(state, params, sig: Signal):
+                i, q = sig.data[:half], sig.data[half:]
+                # previous sample per rail (carried across blocks)
+                ip = jnp.concatenate([state["prev"][:half, None], i[:, :-1]], axis=1)
+                qp = jnp.concatenate([state["prev"][half:, None], q[:, :-1]], axis=1)
+                re = ip * i + qp * q
+                im = ip * q - qp * i
+                f = jnp.arctan2(im, re) / (2.0 * np.pi)
+                # advance prev by the valid frame count
+                buf_i = jnp.concatenate([state["prev"][:half, None], i], axis=1)
+                buf_q = jnp.concatenate([state["prev"][half:, None], q], axis=1)
+                sel = jnp.concatenate(
+                    [
+                        jnp.take_along_axis(
+                            buf_i, jnp.full((half, 1), sig.frames), axis=1
+                        )[:, 0],
+                        jnp.take_along_axis(
+                            buf_q, jnp.full((half, 1), sig.frames), axis=1
+                        )[:, 0],
+                    ]
+                )
+                return {"prev": sel}, Signal(f, sig.frames)
+
+            self._component = Processor(
+                output=SignalProperties(
+                    sample_rate=props.sample_rate, channels=half
+                ),
+                step=step,
+                state={"prev": jnp.zeros((2 * half,), jnp.float32)},
+                params={},
+            )
+            return self._component
+
+        return alloc
+
+
+def fm_demod_factory(carrier_hz: float, lowpass_taps) -> list:
+    """Processor allocator chain for an FM receiver: IQ mix down ->
+    lowpass both rails -> quadrature discriminator. Output is the
+    instantaneous frequency deviation from ``carrier_hz`` in
+    cycles/sample (multiply by the sample rate for Hz)."""
+    from pipe_tpu.ops.fir import FIR
+
+    return [
+        IQMix(carrier_hz).processor(),
+        FIR(lowpass_taps).processor(),
+        FMDiscriminator().processor(),
+    ]

@@ -528,3 +528,31 @@ def test_channelizer_block_constraint():
     ch = Channelizer(8)
     with pytest.raises(ValueError, match="multiple of K"):
         ch.processor()(mutable.mutable(), 500, SignalProperties(44100.0, 1))
+
+
+def test_fm_demod_recovers_message(rng):
+    """FM modulate in float64, demodulate with the IQ->FIR->discriminator
+    chain; the recovered instantaneous frequency tracks the message."""
+    sr = 44100.0
+    fc = 8000.0
+    dev = 1500.0  # Hz deviation
+    N = 44100
+    t = np.arange(N) / sr
+    msg = np.sin(2 * np.pi * 40.0 * t)  # 40 Hz message
+    phase = 2 * np.pi * fc * t + 2 * np.pi * dev * np.cumsum(msg) / sr
+    x = np.cos(phase).astype(np.float32)[None, :]
+
+    chain = ops.fm_demod_factory(fc, ops.design_lowpass(255, 3000.0, sr))
+    y = stream_through(chain, x, 512)  # cycles/sample deviation
+    got_hz = y[0] * sr
+
+    settle = 2000
+    expect = dev * msg
+    # compare interior, compensating the lowpass FIR's (255-1)/2-sample
+    # group delay (filter transients trimmed at both ends)
+    gd = 127
+    g = got_hz[settle + gd : -settle + gd]
+    e = expect[settle:-settle]
+    corr = np.corrcoef(g, e)[0, 1]
+    assert corr > 0.999
+    assert np.abs(np.max(g) - dev) < dev * 0.05
