@@ -20,6 +20,7 @@ EXAMPLES = os.path.join(
         ("live_mixing_desk.py", "added live"),
         ("mastering_chain.py", "peak after limiter"),
         ("sharded_flagship.py", "retuned threshold"),
+        ("fm_receiver.py", "message correlation"),
     ],
 )
 def test_example_runs(script, expect, tmp_path):
