@@ -180,3 +180,80 @@ def test_determinism_same_seed_same_output(rng):
 
     a, b = run_once(), run_once()
     np.testing.assert_array_equal(a, b)
+
+
+def test_checkpoint_roundtrip_dynamics_chain(tmp_path, rng):
+    """Snapshot/restore mid-stream across the new stateful ops (delay line,
+    compressor envelope, channelizer history): resumed output == unbroken."""
+    import pipe_tpu
+    from pipe_tpu import checkpoint, mock, ops
+
+    C, block, n_blocks = 1, 512, 12
+    x = rng.standard_normal((C, block * n_blocks)).astype(np.float32)
+
+    def build():
+        pos = [0]
+
+        def feed(bs):
+            if pos[0] >= x.shape[1]:
+                return None
+            c = x[:, pos[0] : pos[0] + bs]
+            pos[0] += c.shape[1]
+            return c
+
+        def src_alloc(mctx, bs):
+            from pipe_tpu.components import Source
+            from pipe_tpu.signal import SignalProperties
+
+            return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+        sink = mock.Sink()
+        procs = [
+            ops.Delay(700, feedback=0.4, wet=0.5, dry=1.0).processor(),
+            ops.Compressor(threshold_db=-10.0, ratio=3.0).processor(),
+        ]
+        return src_alloc, procs, sink, pos
+
+    # unbroken run
+    src_alloc, procs, sink, _ = build()
+    line = pipe_tpu.Line(source=src_alloc, processors=procs, sink=sink.sink())
+    pipe_tpu.run(block, line)
+    whole = sink.values
+
+    # run half (driving the executor directly for a deterministic cut),
+    # snapshot, restore into a FRESH graph, resume the second half
+    half = block * n_blocks // 2
+    from pipe_tpu.graph import make_route
+    from pipe_tpu.runtime.executor import LineExecutor
+
+    src_alloc2, procs2, sink2, pos2 = build()
+    line2 = pipe_tpu.Line(source=src_alloc2, processors=procs2, sink=sink2.sink())
+    route = make_route(line2, block)
+    le = LineExecutor(route, block)
+    le.start_hook()
+    for _ in range(n_blocks // 2):
+        le.execute()
+    le.drain()
+
+    # snapshot the component states, build a new executor, restore, resume
+    states = [jax.device_get(c.state) for c in route.components()]
+    src_alloc3, procs3, sink3, pos3 = build()
+    pos3[0] = half
+    line3 = pipe_tpu.Line(source=src_alloc3, processors=procs3, sink=sink3.sink())
+    route3 = make_route(line3, block)
+    for comp, st in zip(route3.components(), states):
+        comp.state = jax.tree.map(jnp.asarray, st)
+    le3 = LineExecutor(route3, block)
+    le3.start_hook()
+    while le3.execute() is not EOFSentinel:
+        pass
+    le3.flush_hook()
+
+    resumed = np.concatenate([sink2.values, sink3.values], axis=1)
+    assert resumed.shape == whole.shape
+    np.testing.assert_allclose(resumed, whole, atol=1e-6)
+
+
+from pipe_tpu.runtime.executor import EOF as EOFSentinel  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
