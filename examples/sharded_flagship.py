@@ -43,7 +43,10 @@ def main():
         mesh,
         [
             parallel.FIRResampleStage(h, 48000, 44100),  # fused bank
-            parallel.CompressorStage(threshold_db=-18.0, ratio=4.0),
+            # the compressor sits AFTER the resampler: envelope time
+            # constants must use the post-resample rate
+            parallel.CompressorStage(threshold_db=-18.0, ratio=4.0,
+                                     sample_rate=48000.0),
             parallel.MixStage(np.ones((2, C), np.float32) / C),
         ],
         channels=C,

@@ -67,24 +67,26 @@ def polyphase_branches(h: np.ndarray, num_channels: int) -> np.ndarray:
 
 
 def channelize_block(hist, x, gp, num_channels: int):
-    """One full block through the bank.
+    """One aligned window through the bank.
 
     Args:
       hist: ``(C, K*(S-1))`` carried input samples (branch FIR tails in
-        input-sample form).
-      x: ``(C, B)`` with ``B % K == 0``.
+        input-sample form), ending at a polyphase group boundary.
+      x: ``(C, W)`` aligned samples with ``W % K == 0`` (garbage beyond the
+        caller's valid count is allowed — outputs there are masked by the
+        caller).
       gp: ``(K, S)`` traced branch filters.
       num_channels: K.
 
-    Returns ``(new_hist, re, im)`` with re/im ``(C, K//2+1, B//K)``.
+    Returns ``(re, im)`` with re/im ``(C, K//2+1, W//K)``.
     """
     K = num_channels
-    C, B = x.shape
+    C, W = x.shape
     S = gp.shape[1]
-    if B % K:
-        raise ValueError(f"block must be a multiple of K={K}, got {B}")
-    M = B // K
-    ctx = jnp.concatenate([hist, x], axis=1)  # (C, K*(S-1) + B)
+    if W % K:
+        raise ValueError(f"window must be a multiple of K={K}, got {W}")
+    M = W // K
+    ctx = jnp.concatenate([hist, x], axis=1)  # (C, K*(S-1) + W)
     # phase decompose: u_p input x_p[r] = ctx[rK + p]; frame r spans history
     frames = ctx.reshape(C, S - 1 + M, K)  # frames[c, r, p] = ctx[rK+p]
     # branch FIR: u_p[m] = sum_s x_p[m - s] g_p[s]
@@ -103,8 +105,7 @@ def channelize_block(hist, x, gp, num_channels: int):
     )  # (C, K, M)
     Y = jnp.fft.rfft(jnp.transpose(u, (0, 2, 1)), axis=-1)  # (C, M, K//2+1)
     Y = jnp.transpose(Y, (0, 2, 1))  # (C, K//2+1, M)
-    new_hist = x[:, B - K * (S - 1):]
-    return new_hist, jnp.real(Y), jnp.imag(Y)
+    return jnp.real(Y), jnp.imag(Y)
 
 
 def split_bins(data: np.ndarray, num_channels: int) -> np.ndarray:
@@ -148,22 +149,43 @@ class Channelizer:
                 )
             self.context = mctx
             C = props.channels
+            B = block_size
+            H = K * (S - 1)
 
             def step(state, params, sig: Signal):
-                # mask invalid frames, emit floor(frames/K) subband frames
-                idx = jnp.arange(sig.block_size, dtype=jnp.int32)[None, :]
+                # A mid-stream partial block leaves the stream at an
+                # arbitrary position mod K, so up to K-1 valid samples are
+                # held over ("pend") until the next block completes their
+                # polyphase group — keeping phase assignment exact (the
+                # analog of the resampler's phase-offset state).
+                idx = jnp.arange(B, dtype=jnp.int32)[None, :]
                 xm = jnp.where(idx < sig.frames, sig.data, 0.0)
-                new_hist, re, im = channelize_block(
-                    state["hist"], xm, params["gp"], K
+                pend, pcnt = state["pend"], state["pcnt"]  # (C, K-1), int32
+                # tail region: [pend(:pcnt) | xm | zeros], padded to a whole
+                # number of polyphase groups
+                Wcap = B + K  # >= pcnt + frames, multiple of K
+                pend_m = jnp.where(
+                    jnp.arange(K - 1, dtype=jnp.int32)[None, :] < pcnt, pend, 0.0
                 )
-                # advance history by the valid samples only
-                buf = jnp.concatenate([state["hist"], xm], axis=1)
-                new_hist = lax.dynamic_slice(
-                    buf, (0, sig.frames), (C, K * (S - 1))
+                tail = jnp.zeros((C, Wcap + B), jnp.float32)
+                tail = tail.at[:, : K - 1].set(pend_m)
+                tail = lax.dynamic_update_slice(tail, xm, (0, pcnt))[:, :Wcap]
+                total = pcnt + sig.frames
+                g = total // K  # whole groups ready (g <= B//K)
+
+                re, im = channelize_block(state["hist"], tail, params["gp"], K)
+                out = jnp.stack([re, im], axis=2)  # (C, bins, 2, Wcap//K)
+                out = out.reshape(C * bins * 2, Wcap // K)[:, : B // K]
+
+                # advance: processed stream ends at group boundary g*K
+                ctx = jnp.concatenate([state["hist"], tail], axis=1)
+                new_hist = lax.dynamic_slice(ctx, (0, g * K), (C, H))
+                rem_start = H + g * K
+                new_pend = lax.dynamic_slice(ctx, (0, rem_start), (C, K - 1))
+                return (
+                    {"hist": new_hist, "pend": new_pend, "pcnt": total - g * K},
+                    Signal(out, g),
                 )
-                out = jnp.stack([re, im], axis=2)  # (C, bins, 2, M)
-                out = out.reshape(C * bins * 2, sig.block_size // K)
-                return {"hist": new_hist}, Signal(out, sig.frames // K)
 
             self._component = Processor(
                 output=SignalProperties(
@@ -171,7 +193,11 @@ class Channelizer:
                     channels=C * bins * 2,
                 ),
                 step=step,
-                state={"hist": jnp.zeros((C, K * (S - 1)), jnp.float32)},
+                state={
+                    "hist": jnp.zeros((C, H), jnp.float32),
+                    "pend": jnp.zeros((C, K - 1), jnp.float32),
+                    "pcnt": jnp.asarray(0, jnp.int32),
+                },
                 params={"gp": gp_init},
             )
             return self._component

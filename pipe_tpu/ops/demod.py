@@ -15,6 +15,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal, SignalProperties
@@ -180,26 +181,20 @@ class FMDiscriminator:
             half = props.channels // 2
 
             def step(state, params, sig: Signal):
+                B = sig.block_size
+                # one (2C, 1+B) buffer: carried prev sample then the block
+                buf = jnp.concatenate(
+                    [state["prev"][:, None], sig.data], axis=1
+                )
                 i, q = sig.data[:half], sig.data[half:]
-                # previous sample per rail (carried across blocks)
-                ip = jnp.concatenate([state["prev"][:half, None], i[:, :-1]], axis=1)
-                qp = jnp.concatenate([state["prev"][half:, None], q[:, :-1]], axis=1)
+                ip, qp = buf[:half, :B], buf[half:, :B]  # rails shifted by 1
                 re = ip * i + qp * q
                 im = ip * q - qp * i
                 f = jnp.arctan2(im, re) / (2.0 * np.pi)
-                # advance prev by the valid frame count
-                buf_i = jnp.concatenate([state["prev"][:half, None], i], axis=1)
-                buf_q = jnp.concatenate([state["prev"][half:, None], q], axis=1)
-                sel = jnp.concatenate(
-                    [
-                        jnp.take_along_axis(
-                            buf_i, jnp.full((half, 1), sig.frames), axis=1
-                        )[:, 0],
-                        jnp.take_along_axis(
-                            buf_q, jnp.full((half, 1), sig.frames), axis=1
-                        )[:, 0],
-                    ]
-                )
+                # prev <- sample at index `frames` of buf (the last valid)
+                sel = lax.dynamic_slice(
+                    buf, (0, sig.frames), (2 * half, 1)
+                )[:, 0]
                 return {"prev": sel}, Signal(f, sig.frames)
 
             self._component = Processor(

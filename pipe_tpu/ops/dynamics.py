@@ -122,32 +122,38 @@ class Delay:
 
     def processor(self):
         D = self.delay_frames
-        has_feedback = self._feedback != 0.0
 
         def alloc(mctx, block_size, props: SignalProperties):
-            if has_feedback and D < block_size:
+            # Feedback needs the tap to read carried state only, which
+            # requires D >= block. When the line is long enough, feedback
+            # stays a LIVE traced parameter (mutable from 0.0); on a short
+            # line a nonzero initial feedback is rejected here and
+            # set_feedback raises (the capability is structural).
+            can_feedback = D >= block_size
+            if self._feedback != 0.0 and not can_feedback:
                 raise ValueError(
                     f"feedback delay needs delay_frames >= block_size "
                     f"({D} < {block_size}): the feedback tap must read "
                     f"carried state, not the current block"
                 )
+            self._can_feedback = can_feedback
             self.context = mctx
             C = props.channels
 
             def step(state, params, sig: Signal):
                 # The delay line carries the stream s = x + fb * s[n-D]
                 # (s = x when fb == 0). The delayed tap d[n] = s[n-D] is
-                # read entirely from carried history (D >= B when fb != 0),
-                # so no within-block recursion is needed. Output is
-                # dry * x + wet * d: pure delay at (wet=1, dry=0), classic
-                # echo at (wet, dry) of choice.
+                # read entirely from carried history (D >= B when feedback
+                # is possible), so no within-block recursion is needed.
+                # Output is dry * x + wet * d: pure delay at (wet=1,
+                # dry=0), classic echo at (wet, dry) of choice.
                 x = sig.data
                 B = x.shape[1]
                 idx = jnp.arange(B, dtype=jnp.int32)[None, :]
                 xm = jnp.where(idx < sig.frames, x, 0.0)
                 hist = state["hist"]  # (C, D): trailing D samples of s
                 delayed = jnp.concatenate([hist, xm], axis=1)[:, :B]
-                s = xm + params["feedback"] * delayed if has_feedback else xm
+                s = xm + params["feedback"] * delayed if can_feedback else xm
                 y = params["dry"] * xm + params["wet"] * delayed
                 buf = jnp.concatenate([hist, s], axis=1)
                 new_hist = lax.dynamic_slice(buf, (0, sig.frames), (C, D))
@@ -168,6 +174,11 @@ class Delay:
         return alloc
 
     def set_feedback(self, fb):
+        if not getattr(self, "_can_feedback", True):
+            raise ValueError(
+                "this Delay cannot do feedback: delay_frames < block_size "
+                "(the feedback tap must read carried state)"
+            )
         v = jnp.asarray(fb, jnp.float32)
 
         def fn():

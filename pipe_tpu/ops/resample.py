@@ -151,6 +151,7 @@ class Resampler:
             polyphase_design(self.up, self.down, taps_per_phase), jnp.float32
         )
         self._component = None
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
         self.context = None
 
     def processor(self):
@@ -241,6 +242,8 @@ class Resampler:
     def set_bank(self, hp):
         """Mutate the polyphase bank mid-stream (same (L, K) shape);
         retrace-free."""
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_bank(hp)
         b = jnp.asarray(hp, jnp.float32)
 
         def fn():

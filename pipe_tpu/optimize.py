@@ -60,8 +60,9 @@ def fuse(line: Line) -> Line:
                 rs_obj.down,
                 taps_per_phase=rs_obj.taps_per_phase,
             )
-            # route future set_taps pushes through the fused stage
+            # route future set_taps / set_bank pushes through the fused stage
             fir_obj._delegate = fused
+            rs_obj._delegate = fused
             out.append(fused.processor())
             i += 2
         else:

@@ -183,3 +183,55 @@ def test_noise_gate_gates_quiet_passes_loud(rng):
     y = stream_through([gate.processor()], x, block)
     assert np.abs(y[0, 1000:19000]).max() == pytest.approx(0.5, abs=1e-3)
     assert np.abs(y[0, -4000:]).max() < 1e-7  # attenuated by 80 dB
+
+
+def test_delay_set_feedback_live(rng):
+    """Feedback enabled by mutation on a line long enough for it; raises on
+    a short line (structural capability)."""
+    import jax
+    import jax.numpy as jnp
+    from pipe_tpu import mutable
+    from pipe_tpu.signal import Signal, SignalProperties
+
+    d = ops.Delay(1024, feedback=0.0, wet=1.0, dry=1.0)
+    comp = d.processor()(mutable.mutable(), 512, SignalProperties(44100.0, 1))
+    step = jax.jit(comp.step)
+
+    impulse = np.zeros((1, 512), np.float32)
+    impulse[0, 0] = 1.0
+    sig = Signal(jnp.asarray(impulse), jnp.asarray(512, jnp.int32))
+    zero = Signal(jnp.zeros((1, 512), jnp.float32), jnp.asarray(512, jnp.int32))
+
+    st, _ = step(comp.state, comp.params, sig)
+    d._component.state = st
+    d.set_feedback(0.5).apply()  # live enable — must NOT be a no-op
+    st, y1 = step(st, comp.params, zero)   # echo at n=1024 -> block 2
+    st, y2 = step(st, comp.params, zero)
+    st, y3 = step(st, comp.params, zero)   # 2nd echo at n=2048 -> block 4
+    st, y4 = step(st, comp.params, zero)
+    assert float(np.asarray(y2.data)[0, 0]) == pytest.approx(1.0)
+    assert float(np.asarray(y4.data)[0, 0]) == pytest.approx(0.5)
+
+    short = ops.Delay(100, feedback=0.0)
+    short.processor()(mutable.mutable(), 512, SignalProperties(44100.0, 1))
+    with pytest.raises(ValueError, match="cannot do feedback"):
+        short.set_feedback(0.3)
+
+
+def test_fused_set_bank_after_fuse(rng):
+    """optimize.fuse delegates Resampler.set_bank as well as FIR.set_taps."""
+    from pipe_tpu.graph import Line as _Line
+    import pipe_tpu.optimize
+
+    fir = ops.FIR(ops.design_lowpass(63, 4000.0, 44100.0))
+    rs = ops.Resampler(160, 147)
+    line = _Line(source=None, sink=None,
+                 processors=[fir.processor(), rs.processor()])
+    fused_line = pipe_tpu.optimize.fuse(line)
+    from tests.test_ops import stream_through
+
+    x = rng.standard_normal((1, 147 * 10)).astype(np.float32)
+    stream_through(fused_line.processors, x, 588)
+    m1 = fir.set_taps(ops.design_lowpass(63, 1000.0, 44100.0))
+    m2 = rs.set_bank(ops.resample.polyphase_design(160, 147, 32))
+    assert m1 is not None and m2 is not None

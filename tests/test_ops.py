@@ -556,3 +556,51 @@ def test_fm_demod_recovers_message(rng):
     corr = np.corrcoef(g, e)[0, 1]
     assert corr > 0.999
     assert np.abs(np.max(g) - dev) < dev * 0.05
+
+
+def test_channelizer_midstream_partial_blocks(rng):
+    """Irregular mid-stream chunk sizes (frames % K != 0) must produce the
+    same subband stream as contiguous feeding — the pending-sample phase
+    state keeps polyphase alignment exact."""
+    from pipe_tpu.ops.channelizer import Channelizer, split_bins
+    import pipe_tpu
+    from pipe_tpu import mock
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    K, C, block = 8, 1, 64
+    N = 64 * 40
+    x = rng.standard_normal((C, N)).astype(np.float32)
+
+    def run_with_chunks(chunks):
+        pos = [0]
+        it = iter(chunks)
+
+        def feed(bs):
+            if pos[0] >= N:
+                return None
+            n = min(next(it, bs), N - pos[0], bs)
+            c = x[:, pos[0] : pos[0] + n]
+            pos[0] += n
+            return c
+
+        def src_alloc(mctx, bs):
+            return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+        sink = mock.Sink()
+        ch = Channelizer(K, taps_per_branch=8)
+        line = pipe_tpu.Line(
+            source=src_alloc, processors=[ch.processor()], sink=sink.sink()
+        )
+        pipe_tpu.run(block, line)
+        return split_bins(sink.values, K)
+
+    ref = run_with_chunks(iter(lambda: 64, 0))  # always-full blocks
+    # ragged: 36, 17, 50, 64, 3, ... (never aligned to K)
+    ragged_sizes = [36, 17, 50, 64, 3, 29, 61, 44] * 20
+    got = run_with_chunks(ragged_sizes)
+
+    M = min(ref.shape[2], got.shape[2])
+    err = np.abs(ref[:, :, :M] - got[:, :, :M]).max()
+    assert ref.shape[2] - got.shape[2] <= 1  # at most one trailing group held
+    assert err < 1e-6, err
