@@ -320,7 +320,9 @@ def test_batch_blocks_async_pipe_with_mutation(rng):
     from pipe_tpu import mock, ops
 
     gain = ops.Gain(1.0)
-    src = mock.Source(channels=1, value=1.0, limit=512 * 120, interval=0.002)
+    # interval paces the host per dispatch (one dispatch = batch_blocks
+    # blocks), so the whole 120-block stream takes >= 30 * 10ms = 300ms.
+    src = mock.Source(channels=1, value=1.0, limit=512 * 120, interval=0.01)
     sink = mock.Sink()
     line = pipe_tpu.Line(
         source=src.source(),
@@ -329,7 +331,13 @@ def test_batch_blocks_async_pipe_with_mutation(rng):
     )
     p = pipe_tpu.Pipe(512, line, lookahead=4, batch_blocks=4)
     p.start()
-    _time.sleep(0.2)
+    # Progress-gated push (not a blind sleep): wait until the sink has
+    # actually consumed a couple of dispatches, then push while >= 100
+    # paced blocks of stream remain — the mutation routes in ~ms.
+    deadline = _time.monotonic() + 30.0
+    while sink.messages < 8 and _time.monotonic() < deadline:
+        _time.sleep(0.001)
+    assert sink.messages >= 8, "stream made no progress"
     p.push(gain.set_gain(0.5))
     p.wait(60)
     vals = sink.values
