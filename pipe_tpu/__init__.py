@@ -50,11 +50,13 @@ from pipe_tpu.runtime import Pipe, run, wait
 from pipe_tpu.profiling import StatsRecorder, trace
 from pipe_tpu.offline import process
 from pipe_tpu import checkpoint
+from pipe_tpu import config
 from pipe_tpu import optimize
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "config",
     "Signal",
     "SignalProperties",
     "silence",

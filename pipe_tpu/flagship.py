@@ -18,6 +18,8 @@ import numpy as np
 from pipe_tpu.ops.fir import design_lowpass, fir_apply, fir_init_tail
 from pipe_tpu.ops.resample import polyphase_design, resample_apply
 
+from pipe_tpu import config
+
 FIR_TAPS = 255
 RS_UP, RS_DOWN = 160, 147  # 44.1 kHz -> 48 kHz
 RS_K = 32  # taps per polyphase phase
@@ -53,7 +55,7 @@ def make_flagship(
             z = fused_apply(hist, x, h, hp, RS_UP, RS_DOWN)
             out = jnp.dot(
                 mix, z, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=config.matmul_precision(),
             )
             return (x[:, -(Kc - 1):],), out
 
@@ -70,7 +72,7 @@ def make_flagship(
 
             out = jnp.dot(
                 mix, z, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=config.matmul_precision(),
             )
             return (fir_tail2, rs_hist2), out
 

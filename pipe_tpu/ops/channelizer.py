@@ -37,6 +37,8 @@ from jax import lax
 from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal, SignalProperties
 
+from pipe_tpu import config
+
 
 def design_prototype(num_channels: int, taps_per_branch: int = 16,
                      beta: float = 9.0) -> np.ndarray:
@@ -101,7 +103,7 @@ def channelize_block(hist, x, gp, num_channels: int):
         feature_group_count=K,
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=config.matmul_precision(),
     )  # (C, K, M)
     Y = jnp.fft.rfft(jnp.transpose(u, (0, 2, 1)), axis=-1)  # (C, M, K//2+1)
     Y = jnp.transpose(Y, (0, 2, 1))  # (C, K//2+1, M)

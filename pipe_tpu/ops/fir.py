@@ -33,6 +33,8 @@ from jax import lax
 from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal
 
+from pipe_tpu import config
+
 
 def fir_init_tail(channels: int, num_taps: int, dtype=jnp.float32):
     """Zero tail state ``(C, T-1)``."""
@@ -58,7 +60,7 @@ def _conv_valid(buf, taps_rev):
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=config.matmul_precision(),
         )
         return out[:, 0, :]  # (C, B)
     # per-channel filters: grouped conv
@@ -72,7 +74,7 @@ def _conv_valid(buf, taps_rev):
         feature_group_count=C,
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=config.matmul_precision(),
     )
     return out[0]  # (C, B)
 
@@ -133,7 +135,7 @@ def fir_apply(tail, x, taps):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=config.matmul_precision(),
     )  # (C, S, W)
     y = jnp.transpose(out, (0, 2, 1)).reshape(C, Bp)
     return y[:, :B] if Bp != B else y

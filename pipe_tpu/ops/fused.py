@@ -33,6 +33,8 @@ from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal, SignalProperties
 from pipe_tpu.ops.resample import _reduce_ratio, polyphase_design
 
+from pipe_tpu import config
+
 
 def combine_bank(taps, hp):
     """Combined polyphase bank ``hc[p] = conv(hp[p], taps)``.
@@ -52,7 +54,7 @@ def combine_bank(taps, hp):
         padding=((T - 1, T - 1),),
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=config.matmul_precision(),
     )
     return out[:, 0, :]  # (L, K + T - 1)
 

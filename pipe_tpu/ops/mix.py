@@ -15,13 +15,15 @@ from jax import lax
 from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal, SignalProperties
 
+from pipe_tpu import config
+
 
 def channel_mix_block(x, m):
     """``(C_out, C_in) @ (C_in, B) -> (C_out, B)`` on the MXU. f32
     (HIGHEST) precision — DEFAULT truncates operands to bf16 on TPU."""
     return jnp.dot(
         m, x, preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=config.matmul_precision(),
     )
 
 

@@ -26,6 +26,8 @@ import numpy as np
 from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal
 
+from pipe_tpu import config
+
 
 def partition_ir(ir: np.ndarray, block_size: int) -> np.ndarray:
     """Split + transform an IR into partition spectra planes.
@@ -80,7 +82,7 @@ def ols_block(state, x, frames, ir_spec):
     X = jnp.fft.rfft(window, axis=-1)  # (C, bins) complex64
     Xp = jnp.stack([jnp.real(X), jnp.imag(X)])  # (2, C, bins) float32
     fdl = jnp.concatenate([Xp[:, None], state["fdl"][:, :-1]], axis=1)
-    hi = jax.lax.Precision.HIGHEST
+    hi = config.matmul_precision()
     fr, fi = fdl[0], fdl[1]  # (n_parts, C, bins)
     if ir_spec.ndim == 3:  # shared IR: (2, n_parts, bins)
         hr, hi_ = ir_spec[0], ir_spec[1]

@@ -40,6 +40,8 @@ from pipe_tpu.components import Processor
 from pipe_tpu.signal import Signal, SignalProperties
 from pipe_tpu.ops.fir import design_lowpass
 
+from pipe_tpu import config
+
 
 def polyphase_design(
     up: int, down: int, taps_per_phase: int = 32, beta: float = 12.0
@@ -134,7 +136,7 @@ def resample_apply(hist, x, hp, up: int, down: int, group: int | None = None):
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
+        precision=config.matmul_precision(),
     )  # (C, GL, n_g)
     return jnp.transpose(out, (0, 2, 1)).reshape(C, B * L // M)
 
@@ -186,7 +188,7 @@ class Resampler:
                     windows,
                     coefs,
                     preferred_element_type=jnp.float32,
-                    precision=lax.Precision.HIGHEST,
+                    precision=config.matmul_precision(),
                 )
                 new_hist = lax.dynamic_slice(ctx, (0, f), (C, K - 1))
                 new_off = off + n_out * M - f * L

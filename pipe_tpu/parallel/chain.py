@@ -41,6 +41,7 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from pipe_tpu import config
 from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 from pipe_tpu.parallel.halo import halo_from_left, last_shard, exclusive_prefix
 from pipe_tpu.ops.fir import fir_apply
@@ -430,7 +431,7 @@ class MixStage(Stage):
     def apply(self, carry, params, x):
         partial_mix = jnp.dot(
             params["m"], x, preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
+            precision=config.matmul_precision(),
         )
         return (), lax.psum(partial_mix, CH_AXIS)
 
