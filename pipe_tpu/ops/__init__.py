@@ -36,6 +36,14 @@ from pipe_tpu.ops.channelizer import (
     design_prototype,
     split_bins,
 )
+from pipe_tpu.ops.spectral import (
+    SpectralGain,
+    SpectralGate,
+    design_stft_window,
+    spectral_block,
+    spectral_init_state,
+    stft_frames,
+)
 from pipe_tpu.ops.dynamics import (
     Delay,
     Compressor,
@@ -74,6 +82,12 @@ __all__ = [
     "channelize_block",
     "design_prototype",
     "split_bins",
+    "SpectralGain",
+    "SpectralGate",
+    "design_stft_window",
+    "spectral_block",
+    "spectral_init_state",
+    "stft_frames",
     "Delay",
     "Compressor",
     "NoiseGate",
