@@ -33,6 +33,8 @@ from pipe_tpu.parallel.chain import (
     ResampleStage,
     BiquadStage,
     CompressorStage,
+    SpectralGainStage,
+    SpectralGateStage,
     MixStage,
 )
 
@@ -53,5 +55,7 @@ __all__ = [
     "ResampleStage",
     "BiquadStage",
     "CompressorStage",
+    "SpectralGainStage",
+    "SpectralGateStage",
     "MixStage",
 ]

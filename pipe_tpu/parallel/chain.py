@@ -402,6 +402,159 @@ class CompressorStage(Stage):
         return {"env": new_env}, x * g
 
 
+class _SpectralStageBase(Stage):
+    """Streaming STFT -> per-bin transform -> weighted-OLA, time-sharded.
+
+    Two halos per chunk step, both one-hop over ICI: the analysis history
+    (each device frames its windows against the left neighbor's trailing
+    ``W - hop`` samples, exactly the FIR tail mechanic) and the synthesis
+    spill (the overlap-add contribution of each device's last windows lands
+    up to ``W - hop`` samples past its right edge, so it is ``ppermute``d to
+    the right neighbor and added at its output start). Device (t-1)'s spill
+    becomes the next chunk's carried OLA tail. Per-window transforms are
+    memoryless, so sharded output matches the sequential stream exactly
+    (same windows at the same global hop alignment).
+    """
+
+    def __init__(self, window_size: int, hop: int):
+        from pipe_tpu.ops.spectral import design_stft_window
+
+        self.window_size = int(window_size)
+        self.hop = int(hop)
+        wa, ws = design_stft_window(self.window_size, self.hop)
+        self._wa, self._ws = jnp.asarray(wa), jnp.asarray(ws)
+
+    @property
+    def bins(self) -> int:
+        return self.window_size // 2 + 1
+
+    def _spectral_params(self):
+        raise NotImplementedError
+
+    def _spectral_param_specs(self):
+        raise NotImplementedError
+
+    def _transform(self, re, im, params):
+        raise NotImplementedError
+
+    def build(self, c_global, c_local, n_local):
+        L = self.window_size - self.hop
+        if n_local % self.hop != 0:
+            raise ValueError(
+                f"local chunk {n_local} must be a multiple of hop {self.hop}"
+            )
+        if L > n_local:
+            raise ValueError(
+                f"STFT halo {L} exceeds local chunk {n_local}; "
+                "use a larger chunk or fewer time shards"
+            )
+        self.carry = {
+            "hist": jnp.zeros((c_global, L), jnp.float32),
+            "tail": jnp.zeros((c_global, L), jnp.float32),
+        }
+        self.params = self._spectral_params()
+        self.carry_spec = {
+            "hist": P(CH_AXIS, None),
+            "tail": P(CH_AXIS, None),
+        }
+        self.param_spec = self._spectral_param_specs()
+        self.out_c_global, self.out_c_local, self.out_n_local = (
+            c_global, c_local, n_local,
+        )
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.spectral import _ola_fold
+
+        C, N = x.shape
+        W, H = self.window_size, self.hop
+        L = W - H
+        left = halo_from_left(x, L, TIME_AXIS, carry["hist"])
+        ext = jnp.concatenate([left, x], axis=1)  # [history, chunk]
+        F = N // H
+        idx = jnp.arange(F)[:, None] * H + jnp.arange(W)[None, :]
+        wins = ext[:, idx] * self._wa
+        spec = jnp.fft.rfft(wins, axis=-1)
+        re = jnp.real(spec).astype(jnp.float32)
+        im = jnp.imag(spec).astype(jnp.float32)
+        re, im = self._transform(re, im, params)
+        out = (
+            jnp.fft.irfft(lax.complex(re, im), n=W, axis=-1).astype(jnp.float32)
+            * self._ws
+        )
+        acc = _ola_fold(out, H)  # (C, N + L)
+        spill = acc[:, N:]  # lands on the right neighbor
+        incoming = halo_from_left(spill, L, TIME_AXIS, carry["tail"])
+        y = acc[:, :N].at[:, :L].add(incoming)
+        new_hist = last_shard(x[:, -L:], TIME_AXIS)
+        new_tail = last_shard(spill, TIME_AXIS)
+        return {"hist": new_hist, "tail": new_tail}, y
+
+
+class SpectralGainStage(_SpectralStageBase):
+    """Per-bin gain curve in the STFT domain, time+channel sharded. ``gains``
+    is ``(bins,)`` shared (replicated) or ``(C, bins)`` per-channel (sharded
+    over CH_AXIS); live-retunable between chunks."""
+
+    def __init__(self, window_size: int, hop: int, gains=None):
+        super().__init__(window_size, hop)
+        if gains is None:
+            gains = np.ones(self.bins, np.float32)
+        g = jnp.asarray(gains, jnp.float32)
+        if g.ndim not in (1, 2) or g.shape[-1] != self.bins:
+            raise ValueError(
+                f"gains must be (bins,) or (C, bins) with bins={self.bins}"
+            )
+        self._gains = g
+
+    def build(self, c_global, c_local, n_local):
+        if self._gains.ndim == 2 and self._gains.shape[0] != c_global:
+            raise ValueError(
+                f"per-channel gains for {self._gains.shape[0]} channels, "
+                f"chain has {c_global}"
+            )
+        super().build(c_global, c_local, n_local)
+
+    def _spectral_params(self):
+        return {"gains": self._gains}
+
+    def _spectral_param_specs(self):
+        return {"gains": P() if self._gains.ndim == 1 else P(CH_AXIS, None)}
+
+    def _transform(self, re, im, params):
+        g = params["gains"]
+        g = g[None, None, :] if g.ndim == 1 else g[:, None, :]
+        return re * g, im * g
+
+
+class SpectralGateStage(_SpectralStageBase):
+    """Per-bin noise gate (soft-knee downward expander) in the STFT domain,
+    time+channel sharded. Threshold/reduction are live parameters."""
+
+    def __init__(self, window_size: int, hop: int, threshold: float,
+                 reduction_db: float = -80.0, knee_db: float = 6.0):
+        super().__init__(window_size, hop)
+        self._threshold = float(threshold)
+        self._reduction_db = float(reduction_db)
+        self.knee_db = max(float(knee_db), 1e-3)
+
+    def _spectral_params(self):
+        return {
+            "threshold": jnp.float32(self._threshold),
+            "reduction_db": jnp.float32(self._reduction_db),
+        }
+
+    def _spectral_param_specs(self):
+        return {"threshold": P(), "reduction_db": P()}
+
+    def _transform(self, re, im, params):
+        mag = jnp.sqrt(re * re + im * im) + 1e-30
+        over_db = 20.0 * jnp.log10(mag / params["threshold"])
+        frac = jnp.clip(over_db / self.knee_db + 0.5, 0.0, 1.0)
+        floor = 10.0 ** (params["reduction_db"] / 20.0)
+        gain = floor + (1.0 - floor) * frac
+        return re * gain, im * gain
+
+
 class MixStage(Stage):
     """Matrix mix with channel reduction over the mesh: ``psum`` of the
     column-sharded partial products — the on-device merged mixer sink.

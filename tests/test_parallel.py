@@ -307,3 +307,102 @@ def test_gain_stage_per_channel_vector(rng):
     x = np.ones((C, chunk), np.float32)
     y = np.asarray(chain.step(x))
     assert np.allclose(y, g[:, None])
+
+
+def test_spectral_gain_stage_time_sharded(rng):
+    """Time-sharded STFT engine matches the sequential streaming engine:
+    analysis-history halo left->right, OLA spill right via ppermute, carry
+    across chunks."""
+    from tests.test_spectral import stream_blocks
+
+    W, H = 256, 64
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    gains = rng.uniform(0.0, 1.5, W // 2 + 1).astype(np.float32)
+
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.SpectralGainStage(W, H, gains)],
+        channels=2,
+        chunk_frames=4096,
+    )
+    out = chain.process(x)  # two chunks -> exercises both carries
+
+    import jax.numpy as jnp
+
+    def tf(re, im):
+        g = jnp.asarray(gains)[None, None, :]
+        return re * g, im * g
+
+    seq = stream_blocks(x, W, H, tf, block=512)
+    assert out.shape == seq.shape
+    np.testing.assert_allclose(out, seq, atol=2e-5)
+
+
+def test_spectral_gain_stage_channel_and_time_sharded(rng):
+    """Per-channel bin curves shard over the channel axis; unity gains give
+    perfect reconstruction (delayed by W-hop) through a 2x4 mesh."""
+    W, H = 256, 64
+    x = rng.standard_normal((8, 4096)).astype(np.float32)
+    gains = np.ones((8, W // 2 + 1), np.float32)
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.SpectralGainStage(W, H, gains), parallel.GainStage(0.5)],
+        channels=8,
+        chunk_frames=2048,
+    )
+    out = chain.process(x)
+    L = W - H
+    assert snr_db(0.5 * x[:, : 4096 - L].astype(np.float64), out[:, L:]) > 100
+
+
+def test_spectral_gate_stage_matches_streaming(rng):
+    """Sharded gate == streaming SpectralGate output on the same signal."""
+    from tests.test_spectral import stream_blocks
+    import jax.numpy as jnp
+
+    W, H = 256, 64
+    sr = 8000.0
+    n = 4096
+    t = np.arange(n) / sr
+    x = (np.sin(2 * np.pi * 500.0 * t)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)[None, :]
+    thr, red, knee = 0.5, -60.0, 6.0
+
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.SpectralGateStage(W, H, thr, red, knee)],
+        channels=1,
+        chunk_frames=2048,
+    )
+    out = chain.process(x)
+
+    def gate(re, im):
+        mag = jnp.sqrt(re * re + im * im) + 1e-30
+        over_db = 20.0 * jnp.log10(mag / thr)
+        frac = jnp.clip(over_db / knee + 0.5, 0.0, 1.0)
+        floor = 10.0 ** (red / 20.0)
+        g = floor + (1.0 - floor) * frac
+        return re * g, im * g
+
+    seq = stream_blocks(x, W, H, gate, block=512)
+    np.testing.assert_allclose(out, seq, atol=2e-5)
+
+
+def test_spectral_stage_validation():
+    with pytest.raises(ValueError):
+        parallel.ShardedChain(
+            parallel.make_mesh(1, 4),
+            [parallel.SpectralGainStage(512, 128)],
+            channels=2,
+            chunk_frames=4 * 200,  # local 200 not a multiple of hop 128
+        )
+    with pytest.raises(ValueError):
+        parallel.ShardedChain(
+            parallel.make_mesh(1, 4),
+            [parallel.SpectralGainStage(2048, 512)],
+            channels=2,
+            chunk_frames=4 * 1024,  # halo 1536 > local 1024
+        )
