@@ -80,6 +80,14 @@ def main():
     chist = jnp.zeros((C, 8 * (gp.shape[1] - 1)), jnp.float32)
     check("channelizer", lambda: chn.channelize_block(chist, x, gp, 8)[1])
 
+    from pipe_tpu.ops import spectral as sp
+
+    wa, ws = sp.design_stft_window(512, 128)
+    sst = sp.spectral_init_state(C, 512, 128)
+    check("spectral", lambda: sp.spectral_block(
+        sst, x, frames, lambda re, im: (re * 0.5, im * 0.5),
+        jnp.asarray(wa), jnp.asarray(ws), 128)[1])
+
     from pipe_tpu.ops.demod import osc_block, _rationalize
 
     num, den = _rationalize(440.0, 44100.0)

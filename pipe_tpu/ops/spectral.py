@@ -62,6 +62,23 @@ def design_stft_window(window_size: int, hop: int):
     return w.astype(np.float32), w_s.astype(np.float32)
 
 
+def frame_hops(ext, window_size: int, hop: int, n_frames: int):
+    """Frame ``ext`` (C, W-H + F*H) into (C, F, W) hop-aligned windows.
+
+    ``W % hop == 0``, so window f = ext[:, f*H : f*H + W] decomposes into
+    ``K = W/H`` hop-sized panes — built as K shifted reshapes concatenated
+    on the last axis (pure slice+reshape dataflow; a general gather with a
+    (F, W) index array lowers poorly on TPU).
+    """
+    C = ext.shape[0]
+    W, H, F = window_size, hop, n_frames
+    K = W // H
+    panes = [
+        ext[:, k * H : k * H + F * H].reshape(C, F, H) for k in range(K)
+    ]
+    return jnp.concatenate(panes, axis=-1)
+
+
 def stft_frames(hist, x, window, hop: int):
     """Frame ``concat([hist, x])`` into hop-aligned windows and analyze.
 
@@ -72,8 +89,7 @@ def stft_frames(hist, x, window, hop: int):
     W = window.shape[0]
     F = B // hop
     ext = jnp.concatenate([hist, x], axis=1)  # (C, W-H+B)
-    idx = jnp.arange(F)[:, None] * hop + jnp.arange(W)[None, :]  # (F, W)
-    wins = ext[:, idx] * window  # (C, F, W)
+    wins = frame_hops(ext, W, hop, F) * window  # (C, F, W)
     spec = jnp.fft.rfft(wins, axis=-1)
     return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
 

@@ -463,7 +463,7 @@ class _SpectralStageBase(Stage):
         )
 
     def apply(self, carry, params, x):
-        from pipe_tpu.ops.spectral import _ola_fold
+        from pipe_tpu.ops.spectral import _ola_fold, frame_hops
 
         C, N = x.shape
         W, H = self.window_size, self.hop
@@ -471,8 +471,7 @@ class _SpectralStageBase(Stage):
         left = halo_from_left(x, L, TIME_AXIS, carry["hist"])
         ext = jnp.concatenate([left, x], axis=1)  # [history, chunk]
         F = N // H
-        idx = jnp.arange(F)[:, None] * H + jnp.arange(W)[None, :]
-        wins = ext[:, idx] * self._wa
+        wins = frame_hops(ext, W, H, F) * self._wa
         spec = jnp.fft.rfft(wins, axis=-1)
         re = jnp.real(spec).astype(jnp.float32)
         im = jnp.imag(spec).astype(jnp.float32)
