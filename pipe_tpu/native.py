@@ -310,6 +310,11 @@ class _PyWavReader:
             return np.empty((0, self.channels), np.float32)
         if self._width == 2:
             a = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif self._width == 3:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+            a32 = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            a32 = np.where(a32 >= 1 << 23, a32 - (1 << 24), a32)
+            a = a32.astype(np.float32) / 8388608.0
         elif self._width == 4:
             a = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
         else:
@@ -321,19 +326,34 @@ class _PyWavReader:
 
 
 class _PyWavWriter:
+    """Toolchain-less fallback. stdlib ``wave`` has no IEEE-float support,
+    so ``bits`` maps to integer PCM of the same depth: 16 -> PCM16,
+    24 -> PCM24, 32 -> PCM32 (which preserves MORE mantissa than float32
+    for |x| <= 1, so a float stream loses nothing)."""
+
     def __init__(self, path: str, channels: int, sample_rate: int, bits: int):
         import wave
 
-        # stdlib wave has no float support; PCM16 only in the fallback
+        if bits not in (16, 24, 32):
+            raise ValueError(f"unsupported WAV bit depth {bits}")
+        self._bits = bits
         self._w = wave.open(str(path), "wb")
         self._w.setnchannels(channels)
         self._w.setframerate(sample_rate)
-        self._w.setsampwidth(2)
+        self._w.setsampwidth(bits // 8)
         self.channels = channels
 
     def write(self, frames: np.ndarray) -> int:
-        pcm = np.clip(np.asarray(frames, np.float32), -1.0, 1.0)
-        self._w.writeframes((pcm * 32767.0).astype("<i2").tobytes())
+        x = np.clip(np.asarray(frames, np.float64), -1.0, 1.0)
+        if self._bits == 16:
+            raw = (x * 32767.0).astype("<i2").tobytes()
+        elif self._bits == 24:
+            pcm = (x * 8388607.0).astype("<i4")
+            b = pcm.astype("<i4").view(np.uint8).reshape(-1, 4)
+            raw = np.ascontiguousarray(b[:, :3]).tobytes()
+        else:  # 32
+            raw = (x * 2147483647.0).astype("<i4").tobytes()
+        self._w.writeframes(raw)
         return frames.shape[0]
 
     def close(self) -> None:

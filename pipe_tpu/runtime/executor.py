@@ -145,8 +145,12 @@ class LineExecutor:
                 )
                 return states, outs, eofs
 
-            return jax.jit(scan_step)
-        return jax.jit(step)
+            # Old states are dead after the step: donate their buffers so
+            # large carried state (OLS FDL planes can be MBs) is updated in
+            # place instead of copied every dispatch (the pool-allocator
+            # analog, reference pipe.go:490-492).
+            return jax.jit(scan_step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,))
 
     def _states(self):
         return (

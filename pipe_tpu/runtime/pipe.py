@@ -252,10 +252,15 @@ class Pipe:
                     try:
                         m.apply()
                     except Exception as e:  # noqa: BLE001
-                        # The reference silently drops surgery errors
-                        # (Apply discards them); we at least surface them
-                        # through handles — see _Handle.
-                        _ = e
+                        # The reference silently drops pipe-context mutation
+                        # errors (Mutation.Apply discards them,
+                        # mutable/mutable.go:56-58). We do better: surgery
+                        # paths surface failures through handles, and any
+                        # other registered-mutation failure joins the error
+                        # fan-in — first error wins, run cancelled.
+                        err = RunError(f"error applying pipe mutation: {e}")
+                        err.__cause__ = e
+                        self._merger.report(err)
                 else:
                     try:
                         self.pusher.put(m)

@@ -145,3 +145,30 @@ def test_wav_source_partial_final_block(tmp_path):
     )
     assert sink.samples == 1000
     np.testing.assert_allclose(sink.values, x, atol=1e-7)
+
+
+@pytest.mark.parametrize("bits", [16, 24, 32])
+def test_py_wav_fallback_honors_bits(tmp_path, bits):
+    """The toolchain-less Python writer must honor the requested bit depth
+    (it used to clip everything to PCM16, silently losing 80+ dB)."""
+    from pipe_tpu.native import _PyWavReader, _PyWavWriter
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.9, 0.9, (1000, 2)).astype(np.float32)
+    path = tmp_path / f"py{bits}.wav"
+    w = _PyWavWriter(str(path), channels=2, sample_rate=48000, bits=bits)
+    w.write(x)
+    w.close()
+    r = _PyWavReader(str(path))
+    got = r.read(2000)
+    r.close()
+    assert got.shape == x.shape
+    floor = {16: 80, 24: 120, 32: 150}[bits]
+    assert snr_db(x, got) > floor
+
+
+def test_py_wav_fallback_rejects_bad_bits(tmp_path):
+    from pipe_tpu.native import _PyWavWriter
+
+    with pytest.raises(ValueError):
+        _PyWavWriter(str(tmp_path / "x.wav"), 1, 8000, bits=8)

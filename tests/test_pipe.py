@@ -354,3 +354,23 @@ def test_run_with_cancel_event():
     pipe_tpu.run(512, line, cancel=cancel)  # returns once cancelled
     assert sink.values.shape[1] > 0
     assert src.hooks.flushed
+
+
+def test_failing_pipe_mutation_fails_wait(pipe_timeout):
+    """A pipe-context mutation that raises joins the error fan-in (first
+    error wins) instead of vanishing — an improvement over the reference,
+    which silently drops them (mutable/mutable.go:56-58)."""
+    src = mock.Source(channels=1, value=1.0, interval=0.002)  # unbounded
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        512, pipe_tpu.Line(source=src.source(), sink=sink.sink())
+    )
+    p.start()
+
+    def boom():
+        raise RuntimeError("registered mutation failed")
+
+    p.push(p.mctx.mutate(boom))
+    with pytest.raises(Exception, match="registered mutation failed"):
+        p.wait(pipe_timeout)
+    assert src.hooks.flushed and sink.hooks.flushed
