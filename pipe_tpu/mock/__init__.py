@@ -129,6 +129,18 @@ class Source(_MockBase):
             self.context = mctx
             limit = self.limit
             channels = self.channels
+            # On a mesh-placed pipe the step runs inside shard_map: generate
+            # this device's LOCAL shard (the constant value is the same
+            # everywhere; counters stay replicated scalars).
+            from pipe_tpu.parallel.meshctx import current_mesh
+
+            mesh = current_mesh()
+            gen_channels, gen_block = channels, block_size
+            if mesh is not None:
+                from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+                gen_channels = channels // mesh.shape[CH_AXIS]
+                gen_block = block_size // mesh.shape[TIME_AXIS]
 
             def step(state, params):
                 produced = state["produced"]
@@ -141,7 +153,7 @@ class Source(_MockBase):
                     eof = read <= 0
                     read = jnp.maximum(read, 0)
                 data = jnp.full(
-                    (channels, block_size), params["value"], dtype=jnp.float32
+                    (gen_channels, gen_block), params["value"], dtype=jnp.float32
                 )
                 new_state = {
                     "produced": produced + read,
@@ -172,6 +184,11 @@ class Source(_MockBase):
                 flush=self.hooks.flush,
                 host_pre=host_pre,
             )
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                comp.state_spec = {"produced": P(), "messages": P()}
+                comp.param_spec = {"value": P()}
             self._component = comp
             return comp
 

@@ -24,6 +24,8 @@ from pipe_tpu.parallel.distributed import (
     make_global_mesh,
     shard_host_chunk,
 )
+from pipe_tpu.parallel.meshctx import mesh_scope, current_mesh
+from pipe_tpu.parallel import components as sharded
 from pipe_tpu.parallel.chain import (
     ShardedChain,
     GainStage,
@@ -47,6 +49,9 @@ __all__ = [
     "TIME_AXIS",
     "halo_from_left",
     "last_shard",
+    "mesh_scope",
+    "current_mesh",
+    "sharded",
     "ShardedChain",
     "GainStage",
     "FIRStage",

@@ -251,6 +251,12 @@ class OLSStage(Stage):
         }
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
+    def transform_ir(self, ir) -> jnp.ndarray:
+        """Spectra planes for a live IR swap (same length, same FFT size)."""
+        spec = np.fft.rfft(np.asarray(ir, np.float64), n=self._F, axis=-1)
+        planes = np.stack([spec.real, spec.imag], axis=-2).astype(np.float32)
+        return jnp.asarray(planes)
+
     def apply(self, carry, params, x):
         C, N = x.shape
         Pn = carry["hist"].shape[1]

@@ -1,0 +1,320 @@
+"""Sharded components — the stage DSP kit behind the Line/Pipe API.
+
+Round 1 shipped two products: the streaming runtime (``pipe_tpu.runtime``,
+single device) and :class:`~pipe_tpu.parallel.chain.ShardedChain` (mesh
+execution, raw ``step()`` calls). This module unifies them: every stage of
+the sharded chain is wrapped as a **mutable component allocator** with the
+reference allocator signature (``line.go:24-35``), so a ``Line`` built from
+these runs on a mesh-placed :class:`~pipe_tpu.runtime.pipe.Pipe` with the
+full runtime surface — mutation push through ``Pusher``
+(reference ``pipe.go:243-247``), live ``insert_processor`` / ``add_line``
+(``pipe.go:259-365``), EOF + partial-final-chunk masking, host feed/receive,
+start/flush lifecycle — while the per-chunk compute is the exact same
+shard_map'ed stage math (halo exchange over ICI, cross-device scans,
+psum mixing).
+
+Each factory mirrors its streaming twin in :mod:`pipe_tpu.ops`: construct,
+pass ``.processor()`` into a Line, and use the ``set_*`` methods to build
+mutations for :meth:`Pipe.push`. Parameters are traced jit inputs — pushes
+never recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from pipe_tpu import mutable
+from pipe_tpu.components import Processor, Source
+from pipe_tpu.parallel import chain as _chain
+from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+from pipe_tpu.parallel.meshctx import require_mesh
+from pipe_tpu.signal import Signal, SignalProperties
+
+
+def _local_shape(mesh, channels: int, block_size: int):
+    t_shards = mesh.shape[TIME_AXIS]
+    ch_shards = mesh.shape[CH_AXIS]
+    if block_size % t_shards:
+        raise ValueError(
+            f"block_size {block_size} not divisible by time shards {t_shards}"
+        )
+    if channels % ch_shards:
+        raise ValueError(
+            f"channels {channels} not divisible by channel shards {ch_shards}"
+        )
+    return channels // ch_shards, block_size // t_shards
+
+
+class ShardedOp:
+    """Base adapter: a :class:`~pipe_tpu.parallel.chain.Stage` as a mutable
+    Processor allocator. Subclasses provide the stage and any output
+    property / frame-count transforms."""
+
+    def __init__(self):
+        self._component: Optional[Processor] = None
+        self._stage = None
+        self.context: Optional[mutable.Context] = None
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def _make_stage(self, props: SignalProperties) -> "_chain.Stage":
+        raise NotImplementedError
+
+    def _out_props(self, props: SignalProperties, stage) -> SignalProperties:
+        return props
+
+    def _out_frames(self, frames, stage):
+        """Global valid-frame count after this stage (traced)."""
+        return frames
+
+    # -- allocator -----------------------------------------------------------
+
+    def processor(self):
+        def alloc(mctx: mutable.Context, block_size: int, props: SignalProperties):
+            mesh = require_mesh()
+            c_local, n_local = _local_shape(mesh, props.channels, block_size)
+            stage = self._make_stage(props)
+            stage.build(props.channels, c_local, n_local)
+            self.context = mctx
+            self._stage = stage
+            out_frames = self._out_frames
+
+            def step(state, params, sig: Signal):
+                new_carry, y = stage.apply(state, params, sig.data)
+                return new_carry, Signal(y, out_frames(sig.frames, stage))
+
+            comp = Processor(
+                output=self._out_props(props, stage),
+                step=step,
+                state=stage.carry,
+                params=dict(stage.params),
+            )
+            comp.state_spec = stage.carry_spec
+            comp.param_spec = stage.param_spec
+            if getattr(stage, "reduces_channels", False):
+                comp.reduces_channels = True
+            self._component = comp
+            return comp
+
+        return alloc
+
+    def _set_params(self, **vals) -> mutable.Mutation:
+        """A mutation updating traced parameters (same shapes/dtypes —
+        no recompile)."""
+
+        def fn():
+            for k, v in vals.items():
+                self._component.set_param(k, v)
+
+        return self.context.mutate(fn)
+
+
+class Gain(ShardedOp):
+    """Elementwise gain; scalar or per-channel vector (sharded with the
+    channel rows)."""
+
+    def __init__(self, gain=1.0):
+        super().__init__()
+        self._gain = gain
+
+    def _make_stage(self, props):
+        return _chain.GainStage(self._gain)
+
+    def set_gain(self, gain) -> mutable.Mutation:
+        return self._set_params(gain=jnp.asarray(gain, jnp.float32))
+
+
+class FIR(ShardedOp):
+    """FIR filter with a (T-1)-sample halo between time shards. ``taps`` is
+    (T,) shared or (C, T) per-channel."""
+
+    def __init__(self, taps):
+        super().__init__()
+        self._taps = np.asarray(taps)
+
+    def _make_stage(self, props):
+        return _chain.FIRStage(self._taps)
+
+    def set_taps(self, taps) -> mutable.Mutation:
+        new = jnp.asarray(taps, jnp.float32)
+        if new.shape != tuple(np.shape(self._taps)):
+            raise ValueError(
+                f"taps shape {new.shape} != allocated {np.shape(self._taps)}: "
+                "live retunes must keep shapes (or recompiles would glitch "
+                "the stream)"
+            )
+        return self._set_params(taps=new)
+
+
+class Resample(ShardedOp):
+    """Polyphase L/M resampler; every time shard emits an equal static
+    output count (``n_local * L % M == 0`` checked at build)."""
+
+    def __init__(self, up: int, down: int, taps_per_phase: int = 32):
+        super().__init__()
+        self._args = (up, down, taps_per_phase)
+
+    def _make_stage(self, props):
+        return _chain.ResampleStage(*self._args)
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate * stage.up / stage.down,
+            channels=props.channels,
+        )
+
+    def _out_frames(self, frames, stage):
+        return frames * stage.up // stage.down
+
+
+class FIRResample(ShardedOp):
+    """Fused FIR + polyphase resample: one combined bank, one halo."""
+
+    def __init__(self, taps, up: int, down: int, taps_per_phase: int = 32):
+        super().__init__()
+        self._taps = np.asarray(taps)
+        self._args = (up, down, taps_per_phase)
+
+    def _make_stage(self, props):
+        return _chain.FIRResampleStage(self._taps, *self._args)
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate * stage.up / stage.down,
+            channels=props.channels,
+        )
+
+    def _out_frames(self, frames, stage):
+        return frames * stage.up // stage.down
+
+
+class OLS(ShardedOp):
+    """Overlap-save FFT convolution (long IRs / reverb), time-sharded."""
+
+    def __init__(self, ir):
+        super().__init__()
+        self._ir = np.asarray(ir)
+
+    def _make_stage(self, props):
+        return _chain.OLSStage(self._ir)
+
+    def set_ir(self, ir) -> mutable.Mutation:
+        """Swap the impulse response mid-stream (same length)."""
+        new = np.asarray(ir)
+        if new.shape != self._ir.shape:
+            raise ValueError(
+                f"IR shape {new.shape} != allocated {self._ir.shape}"
+            )
+
+        def fn():
+            self._component.set_param("ir_f", self._stage.transform_ir(new))
+
+        return self.context.mutate(fn)
+
+
+class Biquad(ShardedOp):
+    """One IIR biquad section; the pole recursion crosses device boundaries
+    via the mesh-wide associative scan."""
+
+    def __init__(self, sos_row):
+        super().__init__()
+        self._sos = np.asarray(sos_row)
+
+    def _make_stage(self, props):
+        return _chain.BiquadStage(self._sos)
+
+    def set_sos(self, sos_row) -> mutable.Mutation:
+        sos = np.asarray(sos_row, np.float64).reshape(-1)
+        if sos.shape[0] != 6:
+            raise ValueError("set_sos takes one SOS row")
+        return self._set_params(sos=jnp.asarray(sos / sos[3], jnp.float32))
+
+
+class Compressor(ShardedOp):
+    """Peak compressor; envelope recurrences extend across devices via
+    exclusive prefix scans."""
+
+    def __init__(self, threshold_db=-18.0, ratio=4.0, attack_ms=5.0,
+                 release_ms=120.0, makeup_db=0.0):
+        super().__init__()
+        self._kw = dict(
+            threshold_db=threshold_db, ratio=ratio, attack_ms=attack_ms,
+            release_ms=release_ms, makeup_db=makeup_db,
+        )
+
+    def _make_stage(self, props):
+        return _chain.CompressorStage(sample_rate=props.sample_rate, **self._kw)
+
+    def set(self, **kwargs) -> mutable.Mutation:
+        unknown = set(kwargs) - set(self._kw)
+        if unknown:
+            raise KeyError(f"unknown compressor params: {sorted(unknown)}")
+        return self._set_params(
+            **{k: jnp.asarray(v, jnp.float32) for k, v in kwargs.items()}
+        )
+
+
+class SpectralGain(ShardedOp):
+    """Per-bin STFT gain curve (graphic EQ), time+channel sharded."""
+
+    def __init__(self, window_size: int, hop: int, gains=None):
+        super().__init__()
+        self._args = (window_size, hop)
+        self._gains = gains
+
+    def _make_stage(self, props):
+        return _chain.SpectralGainStage(*self._args, gains=self._gains)
+
+    def set_gains(self, gains) -> mutable.Mutation:
+        new = jnp.asarray(gains, jnp.float32)
+        return self._set_params(gains=new)
+
+
+class SpectralGate(ShardedOp):
+    """Per-bin spectral noise gate, time+channel sharded."""
+
+    def __init__(self, window_size: int, hop: int, threshold: float,
+                 reduction_db: float = -80.0, knee_db: float = 6.0):
+        super().__init__()
+        self._args = (window_size, hop, threshold, reduction_db, knee_db)
+
+    def _make_stage(self, props):
+        return _chain.SpectralGateStage(*self._args)
+
+    def set(self, threshold=None, reduction_db=None) -> mutable.Mutation:
+        vals = {}
+        if threshold is not None:
+            vals["threshold"] = jnp.asarray(threshold, jnp.float32)
+        if reduction_db is not None:
+            vals["reduction_db"] = jnp.asarray(reduction_db, jnp.float32)
+        return self._set_params(**vals)
+
+
+class Mix(ShardedOp):
+    """(C_out, C_in) matrix mix reduced with ``psum`` over the channel
+    axis — the merged mixer sink of BASELINE config 5. Output channels are
+    replicated over the channel axis; must be the last processor."""
+
+    def __init__(self, matrix):
+        super().__init__()
+        self._m = np.asarray(matrix)
+
+    def _make_stage(self, props):
+        return _chain.MixStage(self._m)
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate, channels=self._m.shape[0]
+        )
+
+    def set_matrix(self, matrix) -> mutable.Mutation:
+        new = jnp.asarray(matrix, jnp.float32)
+        if new.shape != self._m.shape:
+            raise ValueError(
+                f"mix matrix shape {new.shape} != allocated {self._m.shape}"
+            )
+        return self._set_params(m=new)

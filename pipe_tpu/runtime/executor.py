@@ -58,9 +58,14 @@ class LineExecutor:
     """
 
     def __init__(self, route: Route, block_size: int, stats=None, lookahead: int = 1,
-                 batch_blocks: int = 1):
+                 batch_blocks: int = 1, mesh=None):
         self.route = route
         self.block_size = block_size
+        # Device mesh: when set, the fused line step is shard_map'ed over it
+        # (channels x time) and component state/params shard by each
+        # component's declared PartitionSpec trees — the sharded-execution
+        # path behind the same Line/Pipe API (SURVEY §2 parallelism table).
+        self.mesh = mesh
         self.started = 0  # how many components started, for rollback flush
         self._step = None  # compiled step, built lazily
         self._zero_feed: Optional[np.ndarray] = None
@@ -93,7 +98,184 @@ class LineExecutor:
     def _invalidate(self):
         self._step = None
 
+    # -- mesh (sharded) step -------------------------------------------------
+
+    @staticmethod
+    def _spec_like(tree, explicit):
+        """A PartitionSpec tree for ``tree``: the component's declared spec,
+        or fully replicated when none is declared."""
+        from jax.sharding import PartitionSpec as P
+
+        if explicit is not None:
+            return explicit
+        return jax.tree.map(lambda _: P(), tree)
+
+    def _component_specs(self):
+        comps = self.route.components()
+        state_specs = []
+        param_specs = []
+        for c in comps:
+            state_specs.append(self._spec_like(c.state, getattr(c, "state_spec", None)))
+            param_specs.append(self._spec_like(c.params, getattr(c, "param_spec", None)))
+        src_s, *proc_s, sink_s = state_specs
+        src_p, *proc_p, sink_p = param_specs
+        return (
+            (src_s, tuple(proc_s), sink_s),
+            (src_p, tuple(proc_p), sink_p),
+        )
+
+    def _validate_mesh_route(self):
+        from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+        t_shards = self.mesh.shape[TIME_AXIS]
+        ch_shards = self.mesh.shape[CH_AXIS]
+        if self.block_size % t_shards:
+            raise ValueError(
+                f"block_size {self.block_size} not divisible by the mesh "
+                f"time axis ({t_shards})"
+            )
+        cin = self.route.source.output.channels
+        if cin % ch_shards:
+            raise ValueError(
+                f"source channels {cin} not divisible by the mesh channel "
+                f"axis ({ch_shards})"
+            )
+        if t_shards > 1:
+            for c in self.route.components():
+                if jax.tree.leaves(c.state) and not hasattr(c, "state_spec"):
+                    raise ValueError(
+                        f"stateful component {c!r} has no state_spec: on a "
+                        "time-sharded mesh, stream state must declare its "
+                        "sharding (use the pipe_tpu.parallel.components kit "
+                        "or set state_spec/param_spec explicitly)"
+                    )
+
+    def _place_states(self):
+        """Pre-place component states with their run-time NamedSharding so
+        the first step's donation can alias them (a freshly-created
+        unsharded array cannot back a sharded output buffer)."""
+        from jax.sharding import NamedSharding
+
+        for c in self.route.components():
+            spec = self._spec_like(c.state, getattr(c, "state_spec", None))
+            leaves, treedef = jax.tree.flatten(c.state)
+            if not leaves:
+                continue
+            specs = treedef.flatten_up_to(spec)
+            c.state = treedef.unflatten(
+                [
+                    jax.device_put(l, NamedSharding(self.mesh, s))
+                    for l, s in zip(leaves, specs)
+                ]
+            )
+
+    def _build_step_mesh(self):
+        """One jitted, shard_map'ed chunk step for the whole line: the same
+        fused Source -> Processors -> Sink sweep as :meth:`_build_step`, but
+        with the time axis of every block sharded over the mesh and stream
+        state crossing device boundaries as halos inside each component's
+        step (``pipe_tpu.parallel`` stage mechanics)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+        self._validate_mesh_route()
+        self._place_states()
+
+        mesh = self.mesh
+        src = self.route.source
+        procs = list(self.route.processors)
+        sink = self.route.sink
+        has_feed = src.feed is not None
+        want_out = sink.receive is not None
+        has_dev_sink = sink.step is not None
+        t_shards = mesh.shape[TIME_AXIS]
+        n_local_in = self.block_size // t_shards
+
+        state_specs, param_specs = self._component_specs()
+        # the signal is channel-sharded until a channel-reducing stage
+        # (psum mixer) replicates it over the channel axis
+        out_ch = CH_AXIS
+        for p in procs:
+            if getattr(p, "reduces_channels", False):
+                out_ch = None
+        sig_in_spec = (P(CH_AXIS, TIME_AXIS), P())
+        out_spec = (P(out_ch, TIME_AXIS), P()) if want_out else None
+
+        def inner(states, params, fed):
+            src_state, proc_states, sink_state = states
+            src_params, proc_params, sink_params = params
+
+            if has_feed:
+                data, frames = fed
+                eof = jnp.asarray(False)
+            else:
+                new_src_state, sig, eof = src.step(src_state, src_params)
+                data, frames = sig.data, sig.frames
+                eof = jnp.asarray(eof, bool)
+                src_state = _gate(~eof, new_src_state, src_state)
+
+            # EOF / partial-final-chunk protocol: zero everything past the
+            # global valid count so stage math past the stream end is inert.
+            # Each device masks by its GLOBAL positions.
+            start = jax.lax.axis_index(TIME_AXIS) * n_local_in
+            idx = start + jnp.arange(data.shape[1], dtype=jnp.int32)
+            data = jnp.where(idx[None, :] < frames, data, 0.0)
+            sig = Signal(data, frames)
+
+            valid = ~eof
+            new_proc_states = []
+            for proc, pstate, pparams in zip(procs, proc_states, proc_params):
+                new_pstate, sig = proc.step(pstate, pparams, sig)
+                new_proc_states.append(_gate(valid, new_pstate, pstate))
+
+            if has_dev_sink:
+                new_sink_state = sink.step(sink_state, sink_params, sig)
+                sink_state = _gate(valid, new_sink_state, sink_state)
+
+            out = (sig.data, sig.frames) if want_out else None
+            return (src_state, tuple(new_proc_states), sink_state), out, eof
+
+        k = self.batch_blocks
+        if k > 1 and not has_feed:
+            def scanned(states, params, fed):
+                def body(carry, _):
+                    new_states, out, eof = inner(carry, params, None)
+                    return new_states, (out if out is not None else (), eof)
+
+                states, (outs, eofs) = jax.lax.scan(body, states, None, length=k)
+                return states, outs, eofs
+
+            mapped = shard_map(
+                scanned,
+                mesh=mesh,
+                in_specs=(state_specs, param_specs, None),
+                out_specs=(
+                    state_specs,
+                    ((P(None, out_ch, TIME_AXIS), P()) if want_out else ()),
+                    P(),
+                ),
+                check_vma=False,
+            )
+            return jax.jit(mapped, donate_argnums=(0,))
+
+        mapped = shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(
+                state_specs,
+                param_specs,
+                sig_in_spec if has_feed else None,
+            ),
+            out_specs=(state_specs, out_spec, P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped, donate_argnums=(0,))
+
     def _build_step(self):
+        if self.mesh is not None:
+            return self._build_step_mesh()
         src = self.route.source
         procs = list(self.route.processors)
         sink = self.route.sink
@@ -212,9 +394,25 @@ class LineExecutor:
                     (data.shape[0], self.block_size - fed_frames), dtype=data.dtype
                 )
                 data = np.concatenate([data, pad], axis=1)
-            fed = Signal(
-                jnp.asarray(data, jnp.float32), jnp.asarray(fed_frames, jnp.int32)
-            )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+                fed = (
+                    jax.device_put(
+                        np.asarray(data, np.float32),
+                        NamedSharding(self.mesh, P(CH_AXIS, TIME_AXIS)),
+                    ),
+                    jax.device_put(
+                        np.asarray(fed_frames, np.int32),
+                        NamedSharding(self.mesh, P()),
+                    ),
+                )
+            else:
+                fed = Signal(
+                    jnp.asarray(data, jnp.float32), jnp.asarray(fed_frames, jnp.int32)
+                )
 
         if self._step is None:
             self._step = self._build_step()
@@ -229,9 +427,9 @@ class LineExecutor:
             if self.stats is not None:
                 self.stats.blocks += self.batch_blocks - 1
         else:
-            self._pending.append(
-                ((out.data, out.frames) if out is not None else None, eof, False)
-            )
+            if out is not None and isinstance(out, Signal):
+                out = (out.data, out.frames)
+            self._pending.append((out, eof, False))
         if len(self._pending) >= self.lookahead:
             # Resolve half the window in ONE host transfer: fetching each
             # block's flag individually would cost one device->host round

@@ -36,6 +36,7 @@ from pipe_tpu.graph import (
     component_context,
     make_route,
 )
+from pipe_tpu.parallel.meshctx import mesh_scope
 from pipe_tpu.runtime.executor import EOF, LineExecutor, MultiLineExecutor
 
 
@@ -99,10 +100,16 @@ class _Handle:
 class Pipe:
     """A graph of bound lines (``pipe.go:14-30,105-126``)."""
 
-    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1):
+    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1, mesh=None):
         if not lines:
             raise ValueError("pipe without lines")
         self.block_size = block_size
+        # Device mesh: when given, every line's fused step is shard_map'ed
+        # over it (channel + time sharding with halo exchange) while the
+        # whole runtime surface — mutation push, live surgery, EOF protocol,
+        # host feed/receive — stays identical. block_size is then the GLOBAL
+        # chunk per step.
+        self.mesh = mesh
         self.stats = stats  # optional pipe_tpu.StatsRecorder
         # Blocks kept in flight per line before forcing results (dispatch
         # pipelining; 1 = the reference's exact next-buffer semantics).
@@ -116,9 +123,10 @@ class Pipe:
         self._executors: List = []  # all top-level executors, in launch order
         self._exec_of_route: Dict[int, LineExecutor] = {}
 
-        for line in lines:
-            route = make_route(line, block_size)  # raises AllocationError
-            self._register_route(route)
+        with mesh_scope(mesh):
+            for line in lines:
+                route = make_route(line, block_size)  # raises AllocationError
+                self._register_route(route)
 
         self._merger: Optional[_Merger] = None
         self._cancel = threading.Event()
@@ -134,7 +142,7 @@ class Pipe:
         le = LineExecutor(
             route, self.block_size,
             stats=self._line_stats(idx, route), lookahead=self.lookahead,
-            batch_blocks=self.batch_blocks,
+            batch_blocks=self.batch_blocks, mesh=self.mesh,
         )
         self._exec_of_route[idx] = le
 
@@ -319,7 +327,8 @@ class Pipe:
 
         def mutation():
             try:
-                route = make_route(line, self.block_size)
+                with mesh_scope(self.mesh):
+                    route = make_route(line, self.block_size)
             except Exception as e:  # noqa: BLE001
                 handle._fail(e)
                 return
@@ -338,7 +347,7 @@ class Pipe:
                 le = LineExecutor(
                     route, self.block_size,
                     stats=self._line_stats(idx, route), lookahead=self.lookahead,
-            batch_blocks=self.batch_blocks,
+                    batch_blocks=self.batch_blocks, mesh=self.mesh,
                 )
                 self._exec_of_route[idx] = le
 
@@ -371,7 +380,10 @@ class Pipe:
             try:
                 prev_props = route.prev_props(pos)
                 ctx = component_context(route.context)
-                proc = allocate_processor(proc_alloc, ctx, self.block_size, prev_props)
+                with mesh_scope(self.mesh):
+                    proc = allocate_processor(
+                        proc_alloc, ctx, self.block_size, prev_props
+                    )
             except Exception as e:  # noqa: BLE001
                 handle._fail(e)
                 return

@@ -1,0 +1,342 @@
+"""Mesh-backed Pipe — the sharded execution path behind the SAME Line/Pipe
+streaming API (VERDICT r1 item 1). Every reference runtime feature must hold
+on a mesh: mutation push through the Pusher (pipe.go:243-247), live surgery
+(pipe.go:259-365), EOF + partial-final-chunk protocol (pipe.go:404-406),
+host feed/receive, start/flush lifecycle — while the per-chunk compute is
+shard_map'ed over a (channels x time) mesh with halo exchange."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax
+
+import pipe_tpu
+from pipe_tpu import mock, ops, parallel
+from pipe_tpu.components import Source
+from pipe_tpu.signal import SignalProperties, snr_db
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def feed_source(data: np.ndarray, channels: int, sample_rate=44100.0):
+    """A host-feed source streaming ``data`` (channels, N) then EOF."""
+    pos = [0]
+
+    def feed(n):
+        if pos[0] >= data.shape[1]:
+            return None
+        c = data[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(sample_rate, channels), feed=feed)
+
+    return alloc
+
+
+def run_pipe(p, timeout=120.0):
+    p.start()
+    p.wait(timeout)
+
+
+def test_config5_chain_on_mesh(rng):
+    """BASELINE config 5 — FIR + resample + merged psum mix — through the
+    Pipe API on a 2x4 mesh, vs the sequential float64 oracle."""
+    C, BLOCK = 8, 2352
+    mesh = parallel.make_mesh(2, 4)
+    data = rng.standard_normal((C, BLOCK * 4)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(255, 4000, 44100))
+    mixm = (np.ones((2, C)) / C).astype(np.float32)
+
+    fir = parallel.sharded.FIR(h)
+    rs = parallel.sharded.Resample(48000, 44100)
+    mix = parallel.sharded.Mix(mixm)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor(), rs.processor(), mix.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p)
+
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    fx = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
+    hp64 = polyphase_design(160, 147, 32)
+    rx = _resample_oracle(fx, hp64, 160, 147)
+    oracle = mixm.astype(np.float64) @ rx
+    assert sink.values.shape == oracle.shape
+    assert snr_db(oracle, sink.values) > 100
+
+
+def test_mesh_matches_single_device_stream(rng):
+    """Sharded output == the single-device streaming engine on the same
+    stream (bit-for-structure parity of the two execution paths)."""
+    C, BLOCK = 4, 2048
+    data = rng.standard_normal((C, BLOCK * 3)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(127, 3000, 44100))
+
+    # single-device streaming path
+    s_fir = ops.FIR(h)
+    s_sink = mock.Sink()
+    p1 = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[s_fir.processor()],
+            sink=s_sink.sink(),
+        ),
+    )
+    run_pipe(p1)
+
+    # mesh path
+    mesh = parallel.make_mesh(2, 4)
+    m_fir = parallel.sharded.FIR(h)
+    m_sink = mock.Sink()
+    p2 = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[m_fir.processor()],
+            sink=m_sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p2)
+
+    assert m_sink.values.shape == s_sink.values.shape
+    np.testing.assert_allclose(m_sink.values, s_sink.values, atol=2e-5)
+
+
+def test_mesh_mutation_push_no_recompile(rng):
+    """A mid-stream set_taps push lands at a chunk boundary with ZERO
+    recompiles (params are traced inputs of the shard_map'ed step)."""
+    C, BLOCK = 2, 2048
+    mesh = parallel.make_mesh(1, 4)
+    h1 = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    h2 = np.asarray(ops.design_lowpass(63, 1000, 44100))
+
+    fir = parallel.sharded.FIR(h1)
+    sink = mock.Sink()
+    src = mock.Source(channels=C, value=1.0, interval=0.002)  # unbounded
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[fir.processor()], sink=sink.sink()
+        ),
+        mesh=mesh,
+    )
+    p.start()
+    while sink.messages < 3:
+        time.sleep(0.01)
+    le = p._exec_of_route[0]
+    compiled_before = le._step._cache_size()
+    p.push(fir.set_taps(h2))
+    seen = sink.messages
+    while sink.messages < seen + 4:
+        time.sleep(0.01)
+    assert le._step._cache_size() == compiled_before  # zero recompiles
+    p.stop(60)
+
+    # DC gain flips from sum(h1) to sum(h2) at exactly one chunk boundary
+    out = sink.values
+    steady = out[:, BLOCK:]  # skip the fill-in of the first chunk
+    g1, g2 = float(np.sum(h1)), float(np.sum(h2))
+    # find the switch: values near g1 then near g2
+    near1 = np.isclose(steady[0], g1, atol=1e-3)
+    near2 = np.isclose(steady[0], g2, atol=1e-3)
+    assert near1[0] and near2[-1]
+    switch = np.argmax(near2)
+    assert switch % BLOCK < 64  # lands at a chunk boundary (+ filter tail)
+
+
+def test_mesh_insert_processor_at_chunk_boundary(rng):
+    """Live InsertProcessor on a mesh line: the new stage is adopted at a
+    chunk boundary (recompile between chunks), no sample lost."""
+    C, BLOCK = 2, 1024
+    mesh = parallel.make_mesh(1, 4)
+    src = mock.Source(channels=C, value=1.0, interval=0.002)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+        mesh=mesh,
+    )
+    p.start()
+    while sink.messages < 3:
+        time.sleep(0.01)
+    gain = parallel.sharded.Gain(2.0)
+    handle = p.insert_processor(0, 0, gain.processor())
+    assert handle.wait(60) and handle.error is None
+    seen = sink.messages
+    while sink.messages < seen + 3:
+        time.sleep(0.01)
+    p.stop(60)
+
+    v = sink.values[0]
+    assert v[0] == 1.0 and v[-1] == 2.0
+    assert set(np.unique(v)) == {1.0, 2.0}
+    sw = np.where(np.diff(v) != 0)[0]
+    assert len(sw) == 1 and (sw[0] + 1) % BLOCK == 0  # exact chunk boundary
+    # every sample accounted for: block-aligned capture
+    assert v.shape[0] % BLOCK == 0
+
+
+def test_mesh_partial_final_chunk(rng):
+    """A stream whose length is not a multiple of the chunk ends with a
+    masked partial chunk; the sink sees exactly N valid frames and the
+    filtered samples match the oracle to the end."""
+    C, BLOCK = 2, 2048
+    N = BLOCK * 2 + 777  # partial final chunk of 777 frames
+    mesh = parallel.make_mesh(1, 4)
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = parallel.sharded.FIR(h)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    assert sink.values.shape == (C, N)
+    oracle = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
+    assert snr_db(oracle, sink.values) > 100
+
+
+def test_mesh_device_source_counts(rng):
+    """The mock device source works inside shard_map: exact message/sample
+    counts, EOF at the limit (pipe_test.go:82-106 semantics on a mesh)."""
+    C, BLOCK = 4, 1024
+    n_blocks = 7
+    mesh = parallel.make_mesh(2, 4)
+    src = mock.Source(limit=n_blocks * BLOCK, channels=C, value=0.25)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    assert src.messages == n_blocks
+    assert src.samples == n_blocks * BLOCK
+    assert sink.values.shape == (C, n_blocks * BLOCK)
+    assert np.all(sink.values == 0.25)
+
+
+def test_mesh_device_source_partial_final(rng):
+    """Limit not divisible by the chunk: the final chunk is partial and
+    masked; the sink captures exactly limit frames."""
+    C, BLOCK = 2, 1024
+    limit = 3 * BLOCK + 500
+    mesh = parallel.make_mesh(1, 4)
+    src = mock.Source(limit=limit, channels=C, value=1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    assert sink.values.shape == (C, limit)
+    assert np.all(sink.values == 1.0)
+
+
+def test_mesh_add_line_live(rng):
+    """Live add_line on a mesh pipe: the new line starts streaming on the
+    mesh while the first keeps running."""
+    C, BLOCK = 2, 1024
+    mesh = parallel.make_mesh(1, 4)
+    src1 = mock.Source(channels=C, value=1.0, interval=0.002)
+    sink1 = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=src1.source(), sink=sink1.sink()),
+        mesh=mesh,
+    )
+    p.start()
+    while sink1.messages < 2:
+        time.sleep(0.01)
+    src2 = mock.Source(limit=BLOCK * 3, channels=C, value=2.0)
+    sink2 = mock.Sink()
+    handle = p.add_line(
+        pipe_tpu.Line(source=src2.source(), sink=sink2.sink())
+    )
+    assert handle.wait(60) and handle.error is None
+    while sink2.messages < 3:
+        time.sleep(0.01)
+    p.stop(60)
+    assert sink2.values.shape == (C, BLOCK * 3)
+    assert np.all(sink2.values == 2.0)
+
+
+def test_mesh_biquad_and_compressor_chain(rng):
+    """Cross-device recurrences (IIR scan + envelope prefix) behind the
+    Pipe API."""
+    C, BLOCK = 2, 4096
+    mesh = parallel.make_mesh(1, 4)
+    data = (rng.standard_normal((C, BLOCK * 3)) * 0.5).astype(np.float32)
+    sos = ops.design_peaking_eq(44100, freq=1000, q=1.0, gain_db=6.0)
+
+    bq = parallel.sharded.Biquad(sos)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[bq.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    oracle = scipy.signal.sosfilt(sos[None, :], data.astype(np.float64), axis=1)
+    assert snr_db(oracle, sink.values) > 75  # f32 recursion bound
+
+
+def test_mesh_requires_divisibility():
+    mesh = parallel.make_mesh(1, 4)
+    src = mock.Source(channels=2, value=1.0, limit=1000)
+    sink = mock.Sink(discard=True)
+    with pytest.raises(Exception, match="divisible"):
+        p = pipe_tpu.Pipe(
+            1001,  # not divisible by 4 time shards
+            pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+            mesh=mesh,
+        )
+        run_pipe(p)
+
+
+def test_mesh_stateful_component_needs_spec():
+    """A stateful component without declared shardings is rejected on a
+    time-sharded mesh (its local-tail math would be silently wrong)."""
+    mesh = parallel.make_mesh(1, 4)
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = ops.FIR(h)  # the STREAMING (local-state) FIR — not mesh-aware
+    src = mock.Source(channels=2, value=1.0, limit=4096)
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        2048,
+        pipe_tpu.Line(
+            source=src.source(), processors=[fir.processor()], sink=sink.sink()
+        ),
+        mesh=mesh,
+    )
+    with pytest.raises(Exception, match="state_spec"):
+        run_pipe(p)
