@@ -214,9 +214,23 @@ class FIRResampleStage(Stage):
 
 
 class OLSStage(Stage):
-    """Chunk-granular overlap-save FFT convolution: each device convolves
-    [P-sample halo, local chunk] with one FFT sized to the next power of two
-    >= P + N_local and keeps the last N_local outputs."""
+    """Overlap-save FFT convolution, time-sharded, for ANY IR length.
+
+    Two regimes, chosen at build:
+
+    - **single-FFT** (``P <= n_local``): each device convolves
+      [P-sample halo, local chunk] with one FFT sized to the next power of
+      two >= P + N_local and keeps the last N_local outputs.
+    - **partitioned FDL** (``P > n_local`` — the 64k-tap reverb of BASELINE
+      config 4): classical UPOLS with partition size ``B = n_local``. Each
+      device FFTs its [previous-block halo, local block] window (one
+      ``ppermute``), the per-block spectra are ``all_gather``ed over the
+      time axis, and every device multiply-accumulates its K-deep
+      frequency-domain delay line (``K = ceil(P/B)``) against the partition
+      spectra. The trailing K-1 block spectra are the replicated carry that
+      crosses chunk boundaries — the FDL state of ``pipe_tpu.ops.ols``
+      crossing the device boundary.
+    """
 
     def __init__(self, ir):
         self._ir = np.asarray(ir, np.float64)
@@ -230,34 +244,66 @@ class OLSStage(Stage):
                 f"per-channel IR for {self._ir.shape[0]} channels, "
                 f"chain has {c_global}"
             )
-        if Pn > n_local:
-            raise ValueError(
-                f"OLS halo {Pn} exceeds local chunk {n_local}; "
-                "use a larger chunk or fewer time shards"
-            )
-        F = 1 << int(np.ceil(np.log2(Pn + n_local)))
-        # re/im planes, not complex64: generic complex arithmetic is
-        # unimplemented on some TPU runtimes (see pipe_tpu.ops.ols)
-        spec = np.fft.rfft(self._ir, n=F, axis=-1)
-        self._F = F
-        self.carry = {"hist": jnp.zeros((c_global, Pn), jnp.float32)}
-        # shared: (2, bins) replicated; per-channel: (C, 2, bins) sharded
-        # over CH_AXIS with the channels
-        planes = np.stack([spec.real, spec.imag], axis=-2).astype(np.float32)
-        self.params = {"ir_f": jnp.asarray(planes)}
-        self.carry_spec = {"hist": P(CH_AXIS, None)}
-        self.param_spec = {
-            "ir_f": P() if self._ir.ndim == 1 else P(CH_AXIS, None, None)
-        }
+        self._partitioned = Pn > n_local
+        if self._partitioned:
+            B = n_local
+            K = -(-Pn // B)
+            self._F = 2 * B
+            self._K = K
+            bins = self._F // 2 + 1
+            self.carry = {
+                "prev": jnp.zeros((c_global, B), jnp.float32),
+                # fdl[j] = spectrum planes of global block (start-1-j)
+                "fdl": jnp.zeros((K - 1, 2, c_global, bins), jnp.float32),
+            }
+            self.carry_spec = {
+                "prev": P(CH_AXIS, None),
+                "fdl": P(None, None, CH_AXIS, None),
+            }
+            self.params = {"ir_f": self.transform_ir(self._ir)}
+            # shared: (2, K, bins) replicated; per-channel:
+            # (C, 2, K, bins) sharded over CH_AXIS with the channels
+            self.param_spec = {
+                "ir_f": P() if self._ir.ndim == 1 else P(CH_AXIS, None, None, None)
+            }
+        else:
+            F = 1 << int(np.ceil(np.log2(Pn + n_local)))
+            self._F = F
+            self.carry = {"hist": jnp.zeros((c_global, Pn), jnp.float32)}
+            self.carry_spec = {"hist": P(CH_AXIS, None)}
+            self.params = {"ir_f": self.transform_ir(self._ir)}
+            # shared: (2, bins) replicated; per-channel: (C, 2, bins)
+            self.param_spec = {
+                "ir_f": P() if self._ir.ndim == 1 else P(CH_AXIS, None, None)
+            }
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
     def transform_ir(self, ir) -> jnp.ndarray:
-        """Spectra planes for a live IR swap (same length, same FFT size)."""
-        spec = np.fft.rfft(np.asarray(ir, np.float64), n=self._F, axis=-1)
-        planes = np.stack([spec.real, spec.imag], axis=-2).astype(np.float32)
-        return jnp.asarray(planes)
+        """Spectra planes for the built FFT layout (also used by live IR
+        swaps — same length, same partitioning)."""
+        ir = np.asarray(ir, np.float64)
+        if not getattr(self, "_partitioned", False):
+            spec = np.fft.rfft(ir, n=self._F, axis=-1)
+            # re/im planes, not complex64: generic complex arithmetic is
+            # unimplemented on some TPU runtimes (see pipe_tpu.ops.ols)
+            planes = np.stack([spec.real, spec.imag], axis=-2).astype(np.float32)
+            return jnp.asarray(planes)
+        B, K = self._F // 2, self._K
+        shared = ir.ndim == 1
+        irc = ir[None, :] if shared else ir
+        C = irc.shape[0]
+        padded = np.zeros((C, K * B), np.float64)
+        padded[:, : irc.shape[1]] = irc
+        parts = padded.reshape(C, K, B)
+        spec = np.fft.rfft(parts, n=self._F, axis=-1)  # (C, K, bins)
+        planes = np.stack([spec.real, spec.imag], axis=1).astype(np.float32)
+        if shared:
+            return jnp.asarray(planes[0])  # (2, K, bins)
+        return jnp.asarray(planes)  # (C, 2, K, bins)
 
     def apply(self, carry, params, x):
+        if self._partitioned:
+            return self._apply_fdl(carry, params, x)
         C, N = x.shape
         Pn = carry["hist"].shape[1]
         left = halo_from_left(x, Pn, TIME_AXIS, carry["hist"])
@@ -274,6 +320,55 @@ class OLSStage(Stage):
         y = y[:, Pn : Pn + N].astype(jnp.float32)
         new_hist = last_shard(x[:, -Pn:], TIME_AXIS)
         return {"hist": new_hist}, y
+
+    def _apply_fdl(self, carry, params, x):
+        C, B = x.shape
+        K = self._K
+        T = lax.axis_size(TIME_AXIS)
+        # this device's 2B analysis window: [previous block, my block]
+        prev = halo_from_left(x, B, TIME_AXIS, carry["prev"])
+        X = jnp.fft.rfft(jnp.concatenate([prev, x], axis=1), axis=-1)
+        Xp = jnp.stack(
+            [jnp.real(X), jnp.imag(X)]
+        ).astype(jnp.float32)  # (2, C, bins)
+        # every device gets every block's spectrum for this chunk
+        G = lax.all_gather(Xp, TIME_AXIS, axis=0)  # (T, 2, C, bins)
+        # ext[i] = spectrum of global block i-(K-1); carried spectra first
+        ext = jnp.concatenate([jnp.flip(carry["fdl"], axis=0), G], axis=0)
+        g = lax.axis_index(TIME_AXIS)
+        window = lax.dynamic_slice(
+            ext, (g, 0, 0, 0), (K,) + ext.shape[1:]
+        )  # blocks g-K+1 .. g, increasing
+        wf = jnp.flip(window, axis=0)  # wf[k] = spectrum of block g-k
+        wr, wi = wf[:, 0], wf[:, 1]  # (K, C, bins)
+        hi_p = config.matmul_precision()
+        ir_f = params["ir_f"]
+        if ir_f.ndim == 3:  # shared (2, K, bins)
+            hr, hh = ir_f[0], ir_f[1]  # (K, bins)
+            acc_re = jnp.einsum("kcb,kb->cb", wr, hr, precision=hi_p) - jnp.einsum(
+                "kcb,kb->cb", wi, hh, precision=hi_p
+            )
+            acc_im = jnp.einsum("kcb,kb->cb", wr, hh, precision=hi_p) + jnp.einsum(
+                "kcb,kb->cb", wi, hr, precision=hi_p
+            )
+        else:  # per-channel (C_local, 2, K, bins)
+            hr, hh = ir_f[:, 0], ir_f[:, 1]  # (C, K, bins)
+            acc_re = jnp.einsum("kcb,ckb->cb", wr, hr, precision=hi_p) - jnp.einsum(
+                "kcb,ckb->cb", wi, hh, precision=hi_p
+            )
+            acc_im = jnp.einsum("kcb,ckb->cb", wr, hh, precision=hi_p) + jnp.einsum(
+                "kcb,ckb->cb", wi, hr, precision=hi_p
+            )
+        y = jnp.fft.irfft(lax.complex(acc_re, acc_im), n=self._F, axis=-1)
+        y = y[:, B:].astype(jnp.float32)
+        # carries: last block's samples; trailing K-1 block spectra
+        # (ext is identical on every device, so the new FDL is replicated)
+        new_prev = last_shard(x, TIME_AXIS)
+        new_fdl = jnp.flip(
+            lax.dynamic_slice(ext, (T, 0, 0, 0), (K - 1,) + ext.shape[1:]),
+            axis=0,
+        )
+        return {"prev": new_prev, "fdl": new_fdl}, y
 
 
 class BiquadStage(Stage):

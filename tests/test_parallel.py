@@ -406,3 +406,98 @@ def test_spectral_stage_validation():
             channels=2,
             chunk_frames=4 * 1024,  # halo 1536 > local 1024
         )
+
+
+def test_ols_partitioned_fdl_ir_longer_than_local_chunk(rng):
+    """VERDICT r1 item 2: an IR longer than the local chunk time-shards via
+    the partitioned FDL (UPOLS with the frequency-domain delay line crossing
+    chunk AND device boundaries)."""
+    P = 6000  # n_local = 1024 -> K = 6 partitions
+    ir = rng.standard_normal(P) * np.exp(-np.arange(P) / 1200.0)
+    x = rng.standard_normal((2, 4096 * 3)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.OLSStage(ir)], channels=2, chunk_frames=4096
+    )
+    out = chain.process(x)  # three chunks -> FDL carry crosses twice
+    oracle = scipy.signal.fftconvolve(
+        x.astype(np.float64), ir[None, :], axes=1
+    )[:, : x.shape[1]]
+    assert snr_db(oracle, out) > 100
+
+
+def test_ols_partitioned_fdl_64k_tap_config4(rng):
+    """BASELINE config 4 at full scale: 64k-tap reverb, time-sharded 4 ways
+    with chunk 16384 (K = 16 partitions), against the float64 oracle."""
+    P = 65536
+    ir = (rng.standard_normal(P) * np.exp(-np.arange(P) / 8000.0)).astype(
+        np.float64
+    )
+    x = rng.standard_normal((2, 16384 * 2)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.OLSStage(ir)], channels=2, chunk_frames=16384
+    )
+    out = chain.process(x)
+    oracle = scipy.signal.fftconvolve(
+        x.astype(np.float64), ir[None, :], axes=1
+    )[:, : x.shape[1]]
+    assert snr_db(oracle, out) > 100
+
+
+def test_ols_partitioned_per_channel_and_channel_sharded(rng):
+    """Per-channel long IRs shard over the channel axis alongside the
+    partitioned FDL."""
+    C, P = 4, 3000  # n_local = 1024 -> K = 3
+    ir = rng.standard_normal((C, P)) * np.exp(-np.arange(P) / 600.0)[None, :]
+    x = rng.standard_normal((C, 4096 * 2)).astype(np.float32)
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.OLSStage(ir)], channels=C, chunk_frames=4096
+    )
+    out = chain.process(x)
+    oracle = np.stack([
+        scipy.signal.fftconvolve(x[c].astype(np.float64), ir[c])[: x.shape[1]]
+        for c in range(C)
+    ])
+    assert snr_db(oracle, out) > 100
+
+
+def test_ols_partitioned_matches_streaming_engine(rng):
+    """Sharded partitioned-FDL output == the streaming UPOLS engine
+    (ops.OLSConvolve) on the same stream — the two execution paths agree."""
+    import pipe_tpu
+    from pipe_tpu import mock
+    from tests.test_mesh_pipe import feed_source, run_pipe
+
+    P = 5000
+    ir = rng.standard_normal(P) * np.exp(-np.arange(P) / 1000.0)
+    x = rng.standard_normal((2, 4096 * 2)).astype(np.float32)
+
+    s_ols = ops.OLSConvolve(ir)
+    s_sink = mock.Sink()
+    p1 = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(
+            source=feed_source(x, 2),
+            processors=[s_ols.processor()],
+            sink=s_sink.sink(),
+        ),
+    )
+    run_pipe(p1)
+
+    mesh = parallel.make_mesh(1, 4)
+    m_ols = parallel.sharded.OLS(ir)
+    m_sink = mock.Sink()
+    p2 = pipe_tpu.Pipe(
+        4096,
+        pipe_tpu.Line(
+            source=feed_source(x, 2),
+            processors=[m_ols.processor()],
+            sink=m_sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p2)
+    assert m_sink.values.shape == s_sink.values.shape
+    assert snr_db(s_sink.values.astype(np.float64), m_sink.values) > 120
