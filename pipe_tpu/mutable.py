@@ -163,26 +163,72 @@ class Destination:
     mailbox merges pending batches under a lock and the executor thread swaps
     the whole batch out at each block boundary — same delivery point, no drops,
     no blocking.
+
+    **Block-indexed delivery**: a batch may be tagged with a target stream
+    block index (the owning executor's dispatch counter). The executor
+    applies it exactly before dispatching that block — under any
+    ``lookahead``/``batch_blocks`` setting it splits a dispatch batch at the
+    boundary — restoring the reference's deterministic sample-stream
+    ordering (``pipe.go:381-413``) when the perf knobs are on. Untagged
+    batches apply at the next dispatch, the reference's next-buffer
+    guarantee.
     """
 
-    __slots__ = ("_lock", "_pending")
+    __slots__ = ("_lock", "_pending", "_targeted")
 
     def __init__(self):
         self._lock = threading.Lock()
         self._pending: Optional[Mutations] = None
+        # ordered [(target_block, Mutations)]; applied when the executor's
+        # dispatch frontier reaches target_block
+        self._targeted: List = []
 
-    def put(self, ms: Mutations) -> None:
+    def put(self, ms: Mutations, at_block: Optional[int] = None) -> None:
         with self._lock:
-            if self._pending is None:
-                self._pending = Mutations().append(ms)
+            if at_block is None:
+                if self._pending is None:
+                    self._pending = Mutations().append(ms)
+                else:
+                    self._pending.append(ms)
             else:
-                self._pending.append(ms)
+                self._targeted.append((int(at_block), Mutations().append(ms)))
 
     def take(self) -> Optional[Mutations]:
-        """Non-blocking poll: returns and clears the pending batch."""
+        """Non-blocking poll: returns and clears EVERYTHING pending
+        (untargeted and targeted alike) — the shutdown/flush path."""
         with self._lock:
             ms, self._pending = self._pending, None
+            if self._targeted:
+                merged = ms if ms is not None else Mutations()
+                for _, t in sorted(self._targeted, key=lambda e: e[0]):
+                    merged.append(t)
+                self._targeted = []
+                return merged
             return ms
+
+    def take_due(self, frontier: int) -> Optional[Mutations]:
+        """Batches due at dispatch frontier ``frontier``: every untargeted
+        batch plus targeted batches with ``target <= frontier``."""
+        with self._lock:
+            ms, self._pending = self._pending, None
+            if self._targeted:
+                due = [e for e in self._targeted if e[0] <= frontier]
+                if due:
+                    self._targeted = [
+                        e for e in self._targeted if e[0] > frontier
+                    ]
+                    merged = ms if ms is not None else Mutations()
+                    for _, t in sorted(due, key=lambda e: e[0]):
+                        merged.append(t)
+                    return merged
+            return ms
+
+    def next_target(self, frontier: int) -> Optional[int]:
+        """The nearest pending target block strictly past ``frontier`` (the
+        executor caps its dispatch batch there)."""
+        with self._lock:
+            future = [b for b, _ in self._targeted if b > frontier]
+            return min(future) if future else None
 
 
 def new_destination() -> Destination:
@@ -195,7 +241,8 @@ class Pusher:
 
     def __init__(self):
         self._destinations: Dict[Context, Destination] = {}
-        self._staged: Dict[Destination, Mutations] = {}
+        # per destination: ordered [(at_block | None, Mutations)]
+        self._staged: Dict[Destination, List] = {}
 
     def add_destination(self, ctx: Context, dest: Destination) -> None:
         self._destinations[ctx] = dest
@@ -203,17 +250,24 @@ class Pusher:
     def has_destination(self, ctx: Context) -> bool:
         return ctx in self._destinations
 
-    def put(self, *mutations: Mutation) -> None:
-        """Stage mutations; raises on unknown context (``pusher.go:41``)."""
+    def put(self, *mutations: Mutation, at_block: Optional[int] = None) -> None:
+        """Stage mutations; raises on unknown context (``pusher.go:41``).
+        ``at_block`` tags them for block-indexed delivery (see
+        :class:`Destination`)."""
         for m in mutations:
             dest = self._destinations.get(m.context)
             if dest is None:
                 raise UnknownContextError(f"unknown mutable context {m.context!r}")
-            self._staged.setdefault(dest, Mutations()).put(m)
+            entries = self._staged.setdefault(dest, [])
+            if entries and entries[-1][0] == at_block:
+                entries[-1][1].put(m)
+            else:
+                entries.append((at_block, Mutations().put(m)))
 
     def push(self) -> None:
         """Deliver all staged batches to their destinations."""
         staged, self._staged = self._staged, {}
-        for dest, ms in staged.items():
-            if ms:
-                dest.put(ms)
+        for dest, entries in staged.items():
+            for at_block, ms in entries:
+                if ms:
+                    dest.put(ms, at_block=at_block)

@@ -428,12 +428,50 @@ class BiquadStage(Stage):
         return {"x_tail": new_x_tail, "s": new_s}, y
 
 
+def _sharded_envelope(carry_env, xa, release_coef, attack_coef):
+    """Smoothed peak envelope over a time-sharded chunk: the (associative)
+    max-decay release follower and one-pole attack smoother of
+    ``pipe_tpu.ops.dynamics`` run as local scans, then extend across devices
+    via an exclusive prefix of the per-device scan totals — exactly the
+    biquad mechanic. Returns ``(new_env (C,2), env (C,N))``."""
+    from pipe_tpu.ops.dynamics import _max_decay_combine, _affine1_combine
+
+    C, N = xa.shape
+    # 1) local max-decay scan, zero-seeded
+    r = jnp.broadcast_to(release_coef, xa.shape)
+    decay_cum, raw_loc = lax.associative_scan(
+        _max_decay_combine, (r, xa), axis=1
+    )
+    # 2) entering value via cross-device exclusive prefix of totals
+    pre_a, pre_m = exclusive_prefix(
+        TIME_AXIS, _max_decay_combine,
+        (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
+        (decay_cum[:, -1], raw_loc[:, -1]),
+    )
+    enter_raw = jnp.maximum(pre_m, carry_env[:, 0] * pre_a)
+    # 3) correction: raw[n] = max(raw_loc[n], enter_raw * r^(n+1))
+    raw = jnp.maximum(raw_loc, enter_raw[:, None] * decay_cum)
+
+    # 4) attack smoother on corrected raw, same two-step structure
+    ca = jnp.broadcast_to(attack_coef, xa.shape)
+    u = (1.0 - ca) * raw
+    ca_cum, env_loc = lax.associative_scan(_affine1_combine, (ca, u), axis=1)
+    pre_ca, pre_u = exclusive_prefix(
+        TIME_AXIS, _affine1_combine,
+        (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
+        (ca_cum[:, -1], env_loc[:, -1]),
+    )
+    enter_env = pre_ca * carry_env[:, 1] + pre_u
+    env = env_loc + enter_env[:, None] * ca_cum
+
+    new_env = last_shard(
+        jnp.stack([raw[:, -1], env[:, -1]], axis=1), TIME_AXIS
+    )
+    return new_env, env
+
+
 class CompressorStage(Stage):
-    """Peak compressor, time-sharded. The envelope recurrences are
-    associative (``pipe_tpu.ops.dynamics``), so they extend across devices
-    exactly like the biquad: local scans, then an exclusive prefix of the
-    per-device scan totals over the time axis — once for the max-decay
-    release follower, once for the one-pole attack smoother."""
+    """Peak compressor, time-sharded via :func:`_sharded_envelope`."""
 
     def __init__(self, threshold_db=-18.0, ratio=4.0, attack_ms=5.0,
                  release_ms=120.0, makeup_db=0.0, sample_rate=44100.0):
@@ -455,52 +493,302 @@ class CompressorStage(Stage):
         )
 
     def apply(self, carry, params, x):
-        from pipe_tpu.ops.dynamics import (
-            _decay_coef, _max_decay_combine, _affine1_combine,
-            compressor_gain,
-        )
+        from pipe_tpu.ops.dynamics import _decay_coef, compressor_gain
 
-        C, N = x.shape
         rc = _decay_coef(params["release_ms"], self.sample_rate)
         ac = _decay_coef(params["attack_ms"], self.sample_rate)
-        xa = jnp.abs(x)
-
-        # 1) local max-decay scan, zero-seeded
-        r = jnp.broadcast_to(rc, xa.shape)
-        decay_cum, raw_loc = lax.associative_scan(
-            _max_decay_combine, (r, xa), axis=1
-        )
-        # 2) entering value via cross-device exclusive prefix of totals
-        pre_a, pre_m = exclusive_prefix(
-            TIME_AXIS, _max_decay_combine,
-            (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
-            (decay_cum[:, -1], raw_loc[:, -1]),
-        )
-        enter_raw = jnp.maximum(pre_m, carry["env"][:, 0] * pre_a)
-        # 3) correction: raw[n] = max(raw_loc[n], enter_raw * r^(n+1))
-        raw = jnp.maximum(raw_loc, enter_raw[:, None] * decay_cum)
-
-        # 4) attack smoother on corrected raw, same two-step structure
-        ca = jnp.broadcast_to(ac, xa.shape)
-        u = (1.0 - ca) * raw
-        ca_cum, env_loc = lax.associative_scan(
-            _affine1_combine, (ca, u), axis=1
-        )
-        pre_ca, pre_u = exclusive_prefix(
-            TIME_AXIS, _affine1_combine,
-            (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
-            (ca_cum[:, -1], env_loc[:, -1]),
-        )
-        enter_env = pre_ca * carry["env"][:, 1] + pre_u
-        env = env_loc + enter_env[:, None] * ca_cum
-
+        new_env, env = _sharded_envelope(carry["env"], jnp.abs(x), rc, ac)
         g = compressor_gain(
             env, params["threshold_db"], params["ratio"], params["makeup_db"]
         )
-        new_env = last_shard(
-            jnp.stack([raw[:, -1], env[:, -1]], axis=1), TIME_AXIS
-        )
         return {"env": new_env}, x * g
+
+
+class LimiterStage(CompressorStage):
+    """Peak limiter: a compressor with an infinite ratio (gain above the
+    threshold is fully cancelled after the attack window)."""
+
+    def __init__(self, threshold_db=-1.0, attack_ms=0.5, release_ms=50.0,
+                 makeup_db=0.0, sample_rate=44100.0):
+        super().__init__(
+            threshold_db=threshold_db, ratio=float("inf"),
+            attack_ms=attack_ms, release_ms=release_ms,
+            makeup_db=makeup_db, sample_rate=sample_rate,
+        )
+
+
+class GateStage(Stage):
+    """Downward-expander noise gate (``pipe_tpu.ops.dynamics.NoiseGate``),
+    time-sharded: same envelope machinery as the compressor, hard gain
+    split at the threshold."""
+
+    def __init__(self, threshold_db=-50.0, range_db=80.0, attack_ms=1.0,
+                 release_ms=200.0, sample_rate=44100.0):
+        self._p = dict(
+            threshold_db=threshold_db, range_db=range_db,
+            attack_ms=attack_ms, release_ms=release_ms,
+        )
+        self.sample_rate = float(sample_rate)
+
+    def build(self, c_global, c_local, n_local):
+        self.carry = {"env": jnp.zeros((c_global, 2), jnp.float32)}
+        self.params = {
+            k: jnp.asarray(v, jnp.float32) for k, v in self._p.items()
+        }
+        self.carry_spec = {"env": P(CH_AXIS, None)}
+        self.param_spec = {k: P() for k in self._p}
+        self.out_c_global, self.out_c_local, self.out_n_local = (
+            c_global, c_local, n_local,
+        )
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.dynamics import _decay_coef
+
+        rc = _decay_coef(params["release_ms"], self.sample_rate)
+        ac = _decay_coef(params["attack_ms"], self.sample_rate)
+        new_env, env = _sharded_envelope(carry["env"], jnp.abs(x), rc, ac)
+        env_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-8))
+        atten = jnp.power(10.0, -params["range_db"] / 20.0)
+        g = jnp.where(env_db >= params["threshold_db"], 1.0, atten)
+        return {"env": new_env}, x * g
+
+
+class DelayStage(Stage):
+    """Pure delay / feedback echo, time-sharded.
+
+    Two regimes (decided at build, mirroring the streaming component's
+    structural gating, ``ops/dynamics.py::Delay``):
+
+    - ``n_local % delay == 0``: **feedback-capable**. The echo recurrence
+      ``s[n] = x[n] + fb * s[n-D]`` reshapes to rows of D samples —
+      an affine one-pole over rows — solved by a local associative scan
+      plus a cross-device exclusive prefix of the per-device transfer
+      ``(fb^{rows}, driven-tail)``, the biquad mechanic at block
+      granularity. ``feedback`` stays a LIVE traced parameter.
+    - otherwise (``delay <= n_local`` required): pure delay only — the tap
+      is a D-sample halo from the left neighbor; feedback is structurally
+      zero and ``set_feedback`` on the wrapper raises.
+    """
+
+    def __init__(self, delay_frames: int, feedback: float = 0.0,
+                 wet: float = 1.0, dry: float = 0.0):
+        if delay_frames < 1:
+            raise ValueError("delay_frames must be >= 1")
+        self.delay_frames = int(delay_frames)
+        self._init = dict(feedback=feedback, wet=wet, dry=dry)
+
+    def build(self, c_global, c_local, n_local):
+        D = self.delay_frames
+        self.can_feedback = n_local % D == 0
+        if not self.can_feedback:
+            if self._init["feedback"] != 0.0:
+                raise ValueError(
+                    f"feedback echo needs the local chunk ({n_local}) to be "
+                    f"a multiple of delay_frames ({D}) so the recurrence "
+                    "reshapes to whole rows; resize the chunk or the mesh"
+                )
+            if D > n_local:
+                raise ValueError(
+                    f"delay halo {D} exceeds local chunk {n_local}; "
+                    "use a larger chunk or fewer time shards"
+                )
+        self.carry = {"hist": jnp.zeros((c_global, D), jnp.float32)}
+        self.params = {
+            k: jnp.asarray(v, jnp.float32) for k, v in self._init.items()
+        }
+        self.carry_spec = {"hist": P(CH_AXIS, None)}
+        self.param_spec = {k: P() for k in self._init}
+        self.out_c_global, self.out_c_local, self.out_n_local = (
+            c_global, c_local, n_local,
+        )
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.dynamics import _affine1_combine
+
+        C, N = x.shape
+        D = self.delay_frames
+        hist = carry["hist"]  # (C, D): trailing D samples of s
+        if not self.can_feedback:
+            left = halo_from_left(x, D, TIME_AXIS, hist)
+            delayed = jnp.concatenate([left, x], axis=1)[:, :N]
+            y = params["dry"] * x + params["wet"] * delayed
+            new_hist = last_shard(x[:, -D:], TIME_AXIS)
+            return {"hist": new_hist}, y
+
+        fb = params["feedback"]
+        m = N // D
+        rows = x.reshape(C, m, D)
+        a = jnp.broadcast_to(fb, rows.shape[:2])[..., None]  # (C, m, 1)
+        a = jnp.broadcast_to(a, rows.shape)
+        # local scan with zero entering state: s_loc[r] = x[r] + fb*s_loc[r-1]
+        a_cum, s_loc = lax.associative_scan(_affine1_combine, (a, rows), axis=1)
+        # per-device transfer: hist_out = fb^m * hist_in + s_loc[-1]
+        a_dev = jnp.full((C,), 1.0, jnp.float32) * fb**m
+
+        def _row_affine(left, right):
+            a1, u1 = left
+            a2, u2 = right
+            return a1 * a2, a2[:, None] * u1 + u2
+
+        pre_a, pre_u = exclusive_prefix(
+            TIME_AXIS, _row_affine,
+            (jnp.ones((C,), jnp.float32), jnp.zeros((C, D), jnp.float32)),
+            (a_dev, s_loc[:, -1]),
+        )
+        # entering row for this device (the D samples preceding its slice)
+        h_in = pre_a[:, None] * hist + pre_u
+        # correction: s[r] = s_loc[r] + fb^{r+1} * h_in
+        powers = fb ** jnp.arange(1, m + 1, dtype=jnp.float32)  # (m,)
+        s = s_loc + powers[None, :, None] * h_in[:, None, :]
+        delayed = jnp.concatenate([h_in[:, None, :], s[:, :-1]], axis=1)
+        y = params["dry"] * x + params["wet"] * delayed.reshape(C, N)
+        new_hist = last_shard(s[:, -1], TIME_AXIS)
+        return {"hist": new_hist}, y
+
+
+class ChannelizerStage(Stage):
+    """Polyphase DFT filterbank analysis bank, time-sharded: the branch-FIR
+    history is a ``K*(S-1)``-sample input halo (the FIR tail mechanic);
+    each device channelizes its aligned local window independently. Output
+    is ``C * 2 * (K//2+1)`` stacked re/im channels at rate ``sr/K``
+    (``pipe_tpu.ops.channelizer`` layout)."""
+
+    def __init__(self, num_channels: int, taps_per_branch: int = 16):
+        from pipe_tpu.ops.channelizer import (
+            design_prototype, polyphase_branches,
+        )
+
+        if num_channels < 2 or num_channels % 2:
+            raise ValueError("num_channels must be even and >= 2")
+        self.K = int(num_channels)
+        self._gp = jnp.asarray(
+            polyphase_branches(
+                design_prototype(num_channels, taps_per_branch), num_channels
+            ),
+            jnp.float32,
+        )
+
+    def build(self, c_global, c_local, n_local):
+        K = self.K
+        S = int(self._gp.shape[1])
+        H = K * (S - 1)
+        if n_local % K:
+            raise ValueError(
+                f"local chunk {n_local} must be a multiple of K={K}"
+            )
+        if H > n_local:
+            raise ValueError(
+                f"channelizer halo {H} exceeds local chunk {n_local}"
+            )
+        self._H = H
+        bins = K // 2 + 1
+        self.carry = {"hist": jnp.zeros((c_global, H), jnp.float32)}
+        self.params = {"gp": self._gp}
+        self.carry_spec = {"hist": P(CH_AXIS, None)}
+        self.param_spec = {"gp": P()}
+        self.out_c_global = c_global * 2 * bins
+        self.out_c_local = c_local * 2 * bins
+        self.out_n_local = n_local // K
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.channelizer import channelize_block
+
+        C, N = x.shape
+        K = self.K
+        bins = K // 2 + 1
+        left = halo_from_left(x, self._H, TIME_AXIS, carry["hist"])
+        re, im = channelize_block(left, x, params["gp"], K)
+        out = jnp.stack([re, im], axis=2).reshape(C * bins * 2, N // K)
+        new_hist = last_shard(x[:, -self._H:], TIME_AXIS)
+        return {"hist": new_hist}, out.astype(jnp.float32)
+
+
+class IQMixStage(Stage):
+    """Quadrature downconverter, time+channel sharded: exact integer-phase
+    oscillator offset by each device's global sample position. Output is
+    ``(2*C, N)`` with each channel shard locally ordered [I..., Q...]
+    (``pipe_tpu.ops.demod.IQMix``; under channel sharding the I/Q pairing
+    is per-shard, which downstream detector stages split locally)."""
+
+    def __init__(self, freq_hz: float, sample_rate: float = 44100.0):
+        from pipe_tpu.ops.demod import _rationalize
+
+        self.freq_hz = float(freq_hz)
+        self.num, self.den = _rationalize(freq_hz, sample_rate, 1 << 14)
+
+    def build(self, c_global, c_local, n_local):
+        self.carry = {"n": jnp.asarray(0, jnp.int32)}
+        self.params = {}
+        self.carry_spec = {"n": P()}
+        self.param_spec = {}
+        self._n_local = n_local
+        self.out_c_global = 2 * c_global
+        self.out_c_local = 2 * c_local
+        self.out_n_local = n_local
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.demod import osc_block
+
+        C, N = x.shape
+        # device-local phase start: chunk start + my global offset
+        n0 = (carry["n"] + lax.axis_index(TIME_AXIS) * self._n_local) % self.den
+        c, s, _ = osc_block(n0, self.num, self.den, N)
+        i = x * c[None, :]
+        q = x * (-s[None, :])
+        new_n = (carry["n"] + lax.axis_size(TIME_AXIS) * self._n_local) % self.den
+        return {"n": new_n}, jnp.concatenate([i, q], axis=0)
+
+
+class EnvelopeDetectorStage(Stage):
+    """Magnitude over local I/Q pairs: ``(2C, N) -> (C, N)`` (AM detector,
+    ``pipe_tpu.ops.demod.EnvelopeDetector``). Stateless."""
+
+    def build(self, c_global, c_local, n_local):
+        if c_local % 2:
+            raise ValueError("EnvelopeDetectorStage expects paired I/Q rails")
+        self.carry = ()
+        self.params = {}
+        self.carry_spec = ()
+        self.param_spec = {}
+        self.out_c_global = c_global // 2
+        self.out_c_local = c_local // 2
+        self.out_n_local = n_local
+
+    def apply(self, carry, params, x):
+        half = x.shape[0] // 2
+        i, q = x[:half], x[half:]
+        return (), jnp.sqrt(i * i + q * q)
+
+
+class FMDiscriminatorStage(Stage):
+    """Quadrature FM discriminator over local I/Q pairs:
+    ``(2C, N) -> (C, N)`` of instantaneous frequency in cycles/sample
+    (``pipe_tpu.ops.demod.FMDiscriminator``). The previous I/Q sample is a
+    one-sample halo from the left neighbor."""
+
+    def build(self, c_global, c_local, n_local):
+        if c_local % 2:
+            raise ValueError("FMDiscriminatorStage expects paired I/Q rails")
+        self.carry = {"prev": jnp.zeros((c_global, 1), jnp.float32)}
+        self.params = {}
+        self.carry_spec = {"prev": P(CH_AXIS, None)}
+        self.param_spec = {}
+        self.out_c_global = c_global // 2
+        self.out_c_local = c_local // 2
+        self.out_n_local = n_local
+
+    def apply(self, carry, params, x):
+        C, N = x.shape
+        half = C // 2
+        prev = halo_from_left(x, 1, TIME_AXIS, carry["prev"])  # (2C, 1)
+        buf = jnp.concatenate([prev, x], axis=1)  # (2C, 1+N)
+        i, q = x[:half], x[half:]
+        ip, qp = buf[:half, :N], buf[half:, :N]
+        re = ip * i + qp * q
+        im = ip * q - qp * i
+        f = jnp.arctan2(im, re) / (2.0 * np.pi)
+        new_prev = last_shard(x[:, -1:], TIME_AXIS)
+        return {"prev": new_prev}, f.astype(jnp.float32)
 
 
 class _SpectralStageBase(Stage):

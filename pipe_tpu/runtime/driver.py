@@ -29,11 +29,14 @@ def run_executor(executor, cancel=None) -> None:
         while True:
             if cancel is not None and cancel.is_set():
                 break
+            stop_before = None
             if executor.dest is not None:
-                ms = executor.dest.take()
+                frontier = executor.blocks_dispatched
+                ms = executor.dest.take_due(frontier)
                 if ms:
                     executor.apply_mutations(ms)
-            res = executor.execute()
+                stop_before = executor.dest.next_target(frontier)
+            res = executor.execute(stop_before)
             if res is EOF:
                 break
     except Exception as e:  # noqa: BLE001

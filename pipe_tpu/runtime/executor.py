@@ -67,8 +67,13 @@ class LineExecutor:
         # path behind the same Line/Pipe API (SURVEY §2 parallelism table).
         self.mesh = mesh
         self.started = 0  # how many components started, for rollback flush
-        self._step = None  # compiled step, built lazily
-        self._zero_feed: Optional[np.ndarray] = None
+        # compiled steps, built lazily: 'single' (one block), 'scan'
+        # (batch_blocks device-source blocks per dispatch), 'scan_fed'
+        # (batch_blocks host-fed blocks per dispatch)
+        self._compiled: dict = {}
+        # dispatch frontier: stream index of the next block to dispatch —
+        # the coordinate system of block-indexed mutations
+        self.blocks_dispatched = 0
         # Destination assigned by the runtime for async lines (the sync-group
         # destination lives on the MultiLineExecutor).
         self.dest: Optional[mutable.Destination] = None
@@ -96,9 +101,14 @@ class LineExecutor:
     # -- step construction ------------------------------------------------
 
     def _invalidate(self):
-        self._step = None
+        self._compiled = {}
 
-    # -- mesh (sharded) step -------------------------------------------------
+    def compile_counts(self) -> int:
+        """Total compiled-variant count across the step cache (test/diag
+        hook for the zero-recompile guarantee)."""
+        return sum(fn._cache_size() for fn in self._compiled.values())
+
+    # -- mesh (sharded) helpers ---------------------------------------------
 
     @staticmethod
     def _spec_like(tree, explicit):
@@ -169,39 +179,28 @@ class LineExecutor:
                 ]
             )
 
-    def _build_step_mesh(self):
-        """One jitted, shard_map'ed chunk step for the whole line: the same
-        fused Source -> Processors -> Sink sweep as :meth:`_build_step`, but
-        with the time axis of every block sharded over the mesh and stream
-        state crossing device boundaries as halos inside each component's
-        step (``pipe_tpu.parallel`` stage mechanics)."""
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    def _make_inner(self):
+        """The single-block traced step ``inner(states, params, fed) ->
+        (states, (out_data, out_frames) | None, eof)`` — the whole
+        Source -> Processors -> Sink sweep fused into one computation
+        (reference hot loop ``run.go:215-217`` -> ``pipe.go:381-471``).
+        ``fed`` is ``(data, frames)`` for host-fed lines, else None.
 
-        from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
-
-        self._validate_mesh_route()
-        self._place_states()
-
-        mesh = self.mesh
+        On a mesh the same function body runs INSIDE shard_map: component
+        steps see local shards and use halo collectives; the executor masks
+        source data past the global valid count by each device's global
+        positions (the EOF / partial-final-chunk protocol)."""
         src = self.route.source
         procs = list(self.route.processors)
         sink = self.route.sink
         has_feed = src.feed is not None
         want_out = sink.receive is not None
         has_dev_sink = sink.step is not None
-        t_shards = mesh.shape[TIME_AXIS]
-        n_local_in = self.block_size // t_shards
+        local = self.mesh is not None
+        if local:
+            from pipe_tpu.parallel.mesh import TIME_AXIS
 
-        state_specs, param_specs = self._component_specs()
-        # the signal is channel-sharded until a channel-reducing stage
-        # (psum mixer) replicates it over the channel axis
-        out_ch = CH_AXIS
-        for p in procs:
-            if getattr(p, "reduces_channels", False):
-                out_ch = None
-        sig_in_spec = (P(CH_AXIS, TIME_AXIS), P())
-        out_spec = (P(out_ch, TIME_AXIS), P()) if want_out else None
+            n_local_in = self.block_size // self.mesh.shape[TIME_AXIS]
 
         def inner(states, params, fed):
             src_state, proc_states, sink_state = states
@@ -216,12 +215,15 @@ class LineExecutor:
                 eof = jnp.asarray(eof, bool)
                 src_state = _gate(~eof, new_src_state, src_state)
 
-            # EOF / partial-final-chunk protocol: zero everything past the
-            # global valid count so stage math past the stream end is inert.
-            # Each device masks by its GLOBAL positions.
-            start = jax.lax.axis_index(TIME_AXIS) * n_local_in
-            idx = start + jnp.arange(data.shape[1], dtype=jnp.int32)
-            data = jnp.where(idx[None, :] < frames, data, 0.0)
+            if local:
+                # zero everything past the global valid count so stage math
+                # past the stream end is inert; each device masks by its
+                # GLOBAL positions
+                from pipe_tpu.parallel.mesh import TIME_AXIS
+
+                start = jax.lax.axis_index(TIME_AXIS) * n_local_in
+                idx = start + jnp.arange(data.shape[1], dtype=jnp.int32)
+                data = jnp.where(idx[None, :] < frames, data, 0.0)
             sig = Signal(data, frames)
 
             valid = ~eof
@@ -237,102 +239,101 @@ class LineExecutor:
             out = (sig.data, sig.frames) if want_out else None
             return (src_state, tuple(new_proc_states), sink_state), out, eof
 
+        return inner
+
+    @staticmethod
+    def _make_scan(inner, k: int, consumes_fed: bool):
+        """Scan ``k`` blocks per dispatch; outputs stack on a leading axis.
+        States are gated on ~eof inside ``inner``, so blocks scanned past
+        EOF are no-ops and the host drops them at resolution. When
+        ``consumes_fed``, the scan consumes a stacked (k, ...) fed batch —
+        host-fed lines get the same one-dispatch-per-k-blocks amortization
+        as device sources."""
+
+        def scanned(states, params, fed):
+            def body(carry, fed_elt):
+                new_states, out, eof = inner(carry, params, fed_elt)
+                return new_states, (out if out is not None else (), eof)
+
+            xs = fed if consumes_fed else None
+            states, (outs, eofs) = jax.lax.scan(
+                body, states, xs, length=None if consumes_fed else k
+            )
+            return states, outs, eofs
+
+        return scanned
+
+    def _get_step(self, kind: str):
+        """Fetch (compile on first use) a step variant: 'single', 'scan'
+        (device-source k-batch), 'scan_fed' (host-fed k-batch). Old states
+        are dead after each step, so their buffers are donated — the
+        pool-allocator analog (reference pipe.go:490-492)."""
+        fn = self._compiled.get(kind)
+        if fn is not None:
+            return fn
+        inner = self._make_inner()
         k = self.batch_blocks
-        if k > 1 and not has_feed:
-            def scanned(states, params, fed):
-                def body(carry, _):
-                    new_states, out, eof = inner(carry, params, None)
-                    return new_states, (out if out is not None else (), eof)
+        if self.mesh is None:
+            if kind == "single":
+                fn = jax.jit(inner, donate_argnums=(0,))
+            else:
+                fn = jax.jit(
+                    self._make_scan(inner, k, consumes_fed=kind == "scan_fed"),
+                    donate_argnums=(0,),
+                )
+        else:
+            fn = self._shard_mapped_step(inner, kind, k)
+        self._compiled[kind] = fn
+        return fn
 
-                states, (outs, eofs) = jax.lax.scan(body, states, None, length=k)
-                return states, outs, eofs
+    def _shard_mapped_step(self, inner, kind: str, k: int):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
 
+        from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+        self._validate_mesh_route()
+        self._place_states()
+
+        want_out = self.route.sink.receive is not None
+        state_specs, param_specs = self._component_specs()
+        # the signal is channel-sharded until a channel-reducing stage
+        # (psum mixer) replicates it over the channel axis
+        out_ch = CH_AXIS
+        for p in self.route.processors:
+            if getattr(p, "reduces_channels", False):
+                out_ch = None
+
+        if kind == "single":
+            fed_spec = (
+                (P(CH_AXIS, TIME_AXIS), P())
+                if self.route.source.feed is not None
+                else None
+            )
+            out_spec = (P(out_ch, TIME_AXIS), P()) if want_out else None
             mapped = shard_map(
-                scanned,
-                mesh=mesh,
-                in_specs=(state_specs, param_specs, None),
-                out_specs=(
-                    state_specs,
-                    ((P(None, out_ch, TIME_AXIS), P()) if want_out else ()),
-                    P(),
-                ),
+                inner,
+                mesh=self.mesh,
+                in_specs=(state_specs, param_specs, fed_spec),
+                out_specs=(state_specs, out_spec, P()),
                 check_vma=False,
             )
-            return jax.jit(mapped, donate_argnums=(0,))
-
-        mapped = shard_map(
-            inner,
-            mesh=mesh,
-            in_specs=(
-                state_specs,
-                param_specs,
-                sig_in_spec if has_feed else None,
-            ),
-            out_specs=(state_specs, out_spec, P()),
-            check_vma=False,
-        )
+        else:
+            consumes_fed = kind == "scan_fed"
+            fed_spec = (
+                (P(None, CH_AXIS, TIME_AXIS), P(None)) if consumes_fed else None
+            )
+            out_spec = (
+                (P(None, out_ch, TIME_AXIS), P(None)) if want_out else ()
+            )
+            mapped = shard_map(
+                self._make_scan(inner, k, consumes_fed),
+                mesh=self.mesh,
+                in_specs=(state_specs, param_specs, fed_spec),
+                out_specs=(state_specs, out_spec, P(None)),
+                check_vma=False,
+            )
         return jax.jit(mapped, donate_argnums=(0,))
-
-    def _build_step(self):
-        if self.mesh is not None:
-            return self._build_step_mesh()
-        src = self.route.source
-        procs = list(self.route.processors)
-        sink = self.route.sink
-        has_feed = src.feed is not None
-        want_out = sink.receive is not None
-        has_dev_sink = sink.step is not None
-        block = self.block_size
-
-        def step(states, params, fed: Optional[Signal]):
-            src_state, proc_states, sink_state = states
-            src_params, proc_params, sink_params = params
-
-            if has_feed:
-                sig = fed
-                eof = jnp.asarray(False)
-            else:
-                new_src_state, sig, eof = src.step(src_state, src_params)
-                eof = jnp.asarray(eof, bool)
-                src_state = _gate(~eof, new_src_state, src_state)
-
-            valid = ~eof
-            new_proc_states = []
-            for proc, pstate, pparams in zip(procs, proc_states, proc_params):
-                new_pstate, sig = proc.step(pstate, pparams, sig)
-                new_proc_states.append(_gate(valid, new_pstate, pstate))
-
-            if has_dev_sink:
-                new_sink_state = sink.step(sink_state, sink_params, sig)
-                sink_state = _gate(valid, new_sink_state, sink_state)
-
-            out = sig if want_out else None
-            return (src_state, tuple(new_proc_states), sink_state), out, eof
-
-        k = self.batch_blocks
-        if k > 1 and not has_feed:
-            # scan k blocks per dispatch; outputs stack on a leading axis.
-            # States are gated on ~eof inside `step`, so blocks scanned past
-            # EOF are no-ops and the host drops them at resolution.
-            def scan_step(states, params, fed):
-                def body(carry, _):
-                    new_states, out, eof = step(carry, params, None)
-                    out_leaves = (
-                        (out.data, out.frames) if out is not None else ()
-                    )
-                    return new_states, (out_leaves, eof)
-
-                states, (outs, eofs) = jax.lax.scan(
-                    body, states, None, length=k
-                )
-                return states, outs, eofs
-
-            # Old states are dead after the step: donate their buffers so
-            # large carried state (OLS FDL planes can be MBs) is updated in
-            # place instead of copied every dispatch (the pool-allocator
-            # analog, reference pipe.go:490-492).
-            return jax.jit(scan_step, donate_argnums=(0,))
-        return jax.jit(step, donate_argnums=(0,))
 
     def _states(self):
         return (
@@ -357,84 +358,147 @@ class LineExecutor:
 
     # -- hot path ----------------------------------------------------------
 
-    def execute(self):
-        """Run one block through the line. Returns :data:`EOF` when the
-        stream is done, else None. Raises on component failure."""
+    def execute(self, stop_before=None):
+        """Advance the line by one dispatch (one block, or ``batch_blocks``
+        blocks). Returns :data:`EOF` when the stream is done, else None.
+        Raises on component failure. ``stop_before`` caps the dispatch at
+        that absolute block index so mutations land exactly there."""
         if self.stats is None:
-            return self._execute()
+            return self._execute(stop_before)
         from pipe_tpu.profiling import _Timer
 
         with _Timer(self.stats):
-            return self._execute()
+            return self._execute(stop_before)
 
-    def _execute(self):
+    def _execute(self, stop_before=None):
+        """Dispatch up to ``batch_blocks`` blocks. ``stop_before`` caps the
+        dispatch at that absolute block index (exclusive) so a block-indexed
+        mutation can land exactly there: the caller applies due mutations
+        between dispatches, and this method never crosses the boundary."""
         src = self.route.source
-        sink = self.route.sink
 
         # Host-side pre hooks in stage order (fault injection, pacing).
         for comp in self.route.components():
             if comp.host_pre is not None:
                 comp.host_pre()
 
-        fed = None
-        fed_frames = 0
+        k = self.batch_blocks
+        budget = k
+        if stop_before is not None:
+            budget = max(1, min(k, stop_before - self.blocks_dispatched))
+
         if src.feed is not None:
-            data = src.feed(self.block_size)
-            if data is None:
-                # host EOF: resolve everything still in flight first so the
-                # trailing blocks reach the sink, then end the stream.
-                self.drain()
-                return EOF
-            data = np.asarray(data)
-            if data.ndim == 1:
-                data = data[None, :]
-            fed_frames = data.shape[1]
-            if fed_frames < self.block_size:
-                pad = np.zeros(
-                    (data.shape[0], self.block_size - fed_frames), dtype=data.dtype
-                )
-                data = np.concatenate([data, pad], axis=1)
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
-
-                fed = (
-                    jax.device_put(
-                        np.asarray(data, np.float32),
-                        NamedSharding(self.mesh, P(CH_AXIS, TIME_AXIS)),
-                    ),
-                    jax.device_put(
-                        np.asarray(fed_frames, np.int32),
-                        NamedSharding(self.mesh, P()),
-                    ),
-                )
-            else:
-                fed = Signal(
-                    jnp.asarray(data, jnp.float32), jnp.asarray(fed_frames, jnp.int32)
-                )
-
-        if self._step is None:
-            self._step = self._build_step()
-        scanned = self.batch_blocks > 1 and src.feed is None
-
-        states, out, eof = self._step(self._states(), self._params(), fed)
-        self._writeback(states)
-
-        if scanned:
-            # out = (data[k,...], frames[k]) or (); eof = eofs[k]
-            self._pending.append((out if out else None, eof, True))
-            if self.stats is not None:
-                self.stats.blocks += self.batch_blocks - 1
+            res = self._dispatch_fed(budget)
         else:
-            if out is not None and isinstance(out, Signal):
-                out = (out.data, out.frames)
-            self._pending.append((out, eof, False))
+            res = self._dispatch_device(budget)
+        if res is EOF:
+            return EOF
         if len(self._pending) >= self.lookahead:
             # Resolve half the window in ONE host transfer: fetching each
             # block's flag individually would cost one device->host round
             # trip per block, which defeats the pipelining on remote TPUs.
             return self._resolve_batch(max(1, self.lookahead // 2))
+        return None
+
+    def _prep_fed_host(self, data):
+        """Normalize one host feed result to (padded (C, block) float32,
+        valid frame count)."""
+        data = np.asarray(data)
+        if data.ndim == 1:
+            data = data[None, :]
+        n = data.shape[1]
+        if n < self.block_size:
+            pad = np.zeros(
+                (data.shape[0], self.block_size - n), dtype=data.dtype
+            )
+            data = np.concatenate([data, pad], axis=1)
+        return np.asarray(data, np.float32), n
+
+    def _fed_to_device(self, data, frames, stacked: bool):
+        if self.mesh is None:
+            return jnp.asarray(data), jnp.asarray(frames, jnp.int32)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+        d_spec = (
+            P(None, CH_AXIS, TIME_AXIS) if stacked else P(CH_AXIS, TIME_AXIS)
+        )
+        f_spec = P(None) if stacked else P()
+        return (
+            jax.device_put(data, NamedSharding(self.mesh, d_spec)),
+            jax.device_put(
+                np.asarray(frames, np.int32), NamedSharding(self.mesh, f_spec)
+            ),
+        )
+
+    def _dispatch_fed(self, budget: int):
+        """Collect up to ``budget`` host-fed blocks and dispatch them: a full
+        batch as ONE scanned dispatch, a remainder as single steps. The
+        feed's EOF (None) drains everything in flight so trailing blocks
+        reach the sink before the stream ends."""
+        src = self.route.source
+        feds = []
+        eof_hit = False
+        for _ in range(budget):
+            data = src.feed(self.block_size)
+            if data is None:
+                eof_hit = True
+                break
+            feds.append(self._prep_fed_host(data))
+            if feds[-1][1] < self.block_size:
+                break  # partial block: the stream ends at the next feed
+        if feds:
+            if len(feds) == self.batch_blocks and self.batch_blocks > 1:
+                fed = self._fed_to_device(
+                    np.stack([d for d, _ in feds]),
+                    np.asarray([n for _, n in feds], np.int32),
+                    stacked=True,
+                )
+                states, outs, eofs = self._get_step("scan_fed")(
+                    self._states(), self._params(), fed
+                )
+                self._writeback(states)
+                self.blocks_dispatched += len(feds)
+                self._pending.append((outs if outs else None, eofs, True))
+                if self.stats is not None:
+                    self.stats.blocks += len(feds) - 1
+            else:
+                step1 = self._get_step("single")
+                for data, n in feds:
+                    fed = self._fed_to_device(data, n, stacked=False)
+                    states, out, eof = step1(
+                        self._states(), self._params(), fed
+                    )
+                    self._writeback(states)
+                    self.blocks_dispatched += 1
+                    self._pending.append((out, eof, False))
+                if self.stats is not None:
+                    self.stats.blocks += len(feds) - 1
+        if eof_hit:
+            self.drain()
+            return EOF
+        return None
+
+    def _dispatch_device(self, budget: int):
+        if budget == self.batch_blocks and self.batch_blocks > 1:
+            states, outs, eofs = self._get_step("scan")(
+                self._states(), self._params(), None
+            )
+            self._writeback(states)
+            self.blocks_dispatched += budget
+            self._pending.append((outs if outs else None, eofs, True))
+            if self.stats is not None:
+                self.stats.blocks += budget - 1
+        else:
+            step1 = self._get_step("single")
+            for _ in range(budget):
+                states, out, eof = step1(self._states(), self._params(), None)
+                self._writeback(states)
+                self.blocks_dispatched += 1
+                self._pending.append((out, eof, False))
+            if self.stats is not None:
+                self.stats.blocks += budget - 1
         return None
 
     def _resolve_batch(self, k: int):
@@ -585,12 +649,19 @@ class MultiLineExecutor:
         if err is not None:
             raise err
 
-    def execute(self):
+    @property
+    def blocks_dispatched(self) -> int:
+        """The group's dispatch frontier: lines in a sync group advance in
+        lockstep, so the max over live lines is the sweep coordinate used by
+        block-indexed mutations (live-added lines start behind)."""
+        return max((le.blocks_dispatched for le in self.executors), default=0)
+
+    def execute(self, stop_before=None):
         """One sweep over all live lines; EOF'd lines are flushed and spliced
         out; returns EOF once no lines remain (``run.go:113-132``)."""
         i = 0
         while i < len(self.executors):
-            res = self.executors[i].execute()  # raises on error
+            res = self.executors[i].execute(stop_before)  # raises on error
             if res is EOF:
                 self.executors[i].flush_hook()  # raises -> becomes the error
                 del self.executors[i]

@@ -221,11 +221,16 @@ class Pipe:
         try:
             while not self._cancel.is_set():
                 dest = executor.dest
+                stop_before = None
                 if dest is not None:
-                    ms = dest.take()
+                    frontier = executor.blocks_dispatched
+                    ms = dest.take_due(frontier)
                     if ms:
                         executor.apply_mutations(ms)
-                if executor.execute() is EOF:
+                    # cap the next dispatch at the nearest block-indexed
+                    # mutation so it lands exactly there
+                    stop_before = dest.next_target(frontier)
+                if executor.execute(stop_before) is EOF:
                     break
         except Exception as e:  # noqa: BLE001
             err_exec = RunError(f"error running: {e}")
@@ -255,6 +260,7 @@ class Pipe:
                 continue
             if ms is None:
                 return
+            ms, at_block = ms
             for m in ms:
                 if m.context == self.mctx:
                     try:
@@ -271,7 +277,7 @@ class Pipe:
                         self._merger.report(err)
                 else:
                     try:
-                        self.pusher.put(m)
+                        self.pusher.put(m, at_block=at_block)
                     except mutable.UnknownContextError as e:
                         self._merger.report(e)
                         continue
@@ -284,12 +290,24 @@ class Pipe:
         with m._lock:
             return all(not t.is_alive() for t in m.threads)
 
-    def push(self, *mutations: mutable.Mutation) -> None:
-        """Queue mutations for delivery (``pipe.go:243-247``). They land at a
-        block boundary of the owning executor, in push order."""
+    def push(self, *mutations: mutable.Mutation, at_block: Optional[int] = None) -> None:
+        """Queue mutations for delivery (``pipe.go:243-247``). They land at
+        the owning executor's next dispatched block, in push order — the
+        reference's next-buffer guarantee. ``at_block`` targets an exact
+        stream block index instead: the executor applies them right before
+        dispatching that block, splitting a ``batch_blocks`` dispatch at the
+        boundary if needed (deterministic landing under any perf knobs; a
+        target already passed applies at the next block)."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
-        self._mutations_q.put(list(mutations))
+        self._mutations_q.put((list(mutations), at_block))
+
+    def block_index(self, line: int = 0) -> int:
+        """The line's dispatch frontier: the stream block index the NEXT
+        dispatched block will have — the coordinate system for
+        ``push(..., at_block=N)``. Blocks before this index are already on
+        the device (possibly still in flight under ``lookahead``)."""
+        return self._exec_of_route[line].blocks_dispatched
 
     def stop(self, timeout: Optional[float] = None) -> None:
         """Cooperatively cancel a running pipe — the analog of cancelling

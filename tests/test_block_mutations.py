@@ -1,0 +1,184 @@
+"""Block-indexed mutations (VERDICT r1 item 3): a push tagged with a target
+block index lands EXACTLY there under any lookahead/batch_blocks setting —
+the executor splits its dispatch batch at the boundary. This restores the
+reference's deterministic sample-stream ordering (pipe.go:381-413) when the
+perf knobs are on; the untargeted default keeps the next-dispatch
+guarantee."""
+
+import time
+
+import numpy as np
+import pytest
+
+import pipe_tpu
+from pipe_tpu import mock, mutable, ops
+
+
+BLOCK = 256
+
+
+def _wait_samples(sink, n, timeout=60.0):
+    deadline = time.time() + timeout
+    while sink.samples < n:
+        if time.time() > deadline:
+            raise AssertionError(f"timeout waiting for {n} samples")
+        time.sleep(0.005)
+
+
+@pytest.mark.parametrize("lookahead,batch_blocks", [(1, 1), (4, 1), (1, 32), (8, 32)])
+def test_targeted_push_lands_at_exact_block(lookahead, batch_blocks):
+    """A gain step targeted at block N switches the output at sample
+    N*block_size exactly — even mid-batch with batch_blocks=32."""
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, interval=0.01)  # unbounded
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[gain.processor()], sink=sink.sink()
+        ),
+        lookahead=lookahead,
+        batch_blocks=batch_blocks,
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)  # stream is live
+    # target far enough ahead that the push cannot race the frontier,
+    # and NOT on a batch boundary so the batch must split
+    target = p.block_index(0) + 3 * max(batch_blocks, 4) + 1
+    p.push(gain.set_gain(2.0), at_block=target)
+    _wait_samples(sink, (target + 2 * batch_blocks + 2) * BLOCK)
+    p.stop(60)
+
+    v = sink.values[0]
+    sw = np.where(np.diff(v) != 0)[0]
+    assert len(sw) == 1, f"expected one switch, got {len(sw)}"
+    assert sw[0] + 1 == target * BLOCK  # EXACT landing sample
+
+
+def test_untargeted_push_lands_at_next_dispatch():
+    """The default push keeps the reference's next-buffer guarantee at
+    dispatch granularity: it lands at a dispatch boundary (a multiple of
+    batch_blocks blocks)."""
+    k = 8
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, interval=0.01)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[gain.processor()], sink=sink.sink()
+        ),
+        batch_blocks=k,
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    p.push(gain.set_gain(0.5))
+    _wait_samples(sink, sink.samples + 3 * k * BLOCK)
+    p.stop(60)
+
+    v = sink.values[0]
+    sw = np.where(np.diff(v) != 0)[0]
+    assert len(sw) == 1
+    assert (sw[0] + 1) % (k * BLOCK) == 0  # a dispatch boundary
+
+
+def test_targeted_push_in_the_past_applies_at_next_block():
+    """A target the frontier already passed cannot apply retroactively; it
+    lands at the next dispatched block instead of being dropped."""
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, interval=0.005)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[gain.processor()], sink=sink.sink()
+        ),
+    )
+    p.start()
+    _wait_samples(sink, 4 * BLOCK)
+    p.push(gain.set_gain(3.0), at_block=0)  # long gone
+    _wait_samples(sink, sink.samples + 4 * BLOCK)
+    p.stop(60)
+    v = sink.values[0]
+    sw = np.where(np.diff(v) != 0)[0]
+    assert len(sw) == 1 and v[-1] == 3.0
+    assert (sw[0] + 1) % BLOCK == 0
+
+
+def test_feed_line_batch_blocks_matches_unbatched(rng):
+    """Host-fed lines get dispatch batching too (VERDICT r1 weak 2): one
+    scanned dispatch per k fed blocks, identical output, fewer compiled
+    dispatches."""
+    C, k = 2, 8
+    data = rng.standard_normal((C, BLOCK * 27 + 111)).astype(np.float32)
+
+    def make_feed():
+        pos = [0]
+
+        def feed(n):
+            if pos[0] >= data.shape[1]:
+                return None
+            c = data[:, pos[0] : pos[0] + n]
+            pos[0] += n
+            return c
+
+        return feed
+
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    outs = {}
+    for bb in (1, k):
+        feed = make_feed()
+
+        def alloc(ctx, block, _feed=feed):
+            return Source(output=SignalProperties(44100.0, C), feed=_feed)
+
+        h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+        fir = ops.FIR(h)
+        sink = mock.Sink()
+        p = pipe_tpu.Pipe(
+            BLOCK,
+            pipe_tpu.Line(
+                source=alloc, processors=[fir.processor()], sink=sink.sink()
+            ),
+            batch_blocks=bb,
+        )
+        p.start()
+        p.wait(60)
+        outs[bb] = sink.values
+
+    assert outs[1].shape == outs[k].shape == data.shape
+    np.testing.assert_allclose(outs[1], outs[k], atol=1e-6)
+
+
+def test_destination_block_indexed_delivery():
+    """Unit semantics of the targeted mailbox: due-at-frontier delivery,
+    ordering, next_target, and take() drains everything."""
+    ctx = mutable.mutable()
+    dest = mutable.Destination()
+    log = []
+
+    def m(tag):
+        return mutable.Mutations().put(ctx.mutate(lambda: log.append(tag)))
+
+    dest.put(m("now"))
+    dest.put(m("b5"), at_block=5)
+    dest.put(m("b3"), at_block=3)
+
+    assert dest.next_target(0) == 3
+    ms = dest.take_due(0)
+    ms.apply_to(ctx)
+    assert log == ["now"]
+
+    assert dest.next_target(3) == 5
+    ms = dest.take_due(4)  # frontier past 3
+    ms.apply_to(ctx)
+    assert log == ["now", "b3"]
+
+    dest.put(m("b9"), at_block=9)
+    ms = dest.take()  # drain-everything path
+    ms.apply_to(ctx)
+    assert log == ["now", "b3", "b5", "b9"]
+    assert dest.next_target(0) is None
+    assert dest.take_due(100) is None

@@ -142,12 +142,12 @@ def test_mesh_mutation_push_no_recompile(rng):
     while sink.messages < 3:
         time.sleep(0.01)
     le = p._exec_of_route[0]
-    compiled_before = le._step._cache_size()
+    compiled_before = le.compile_counts()
     p.push(fir.set_taps(h2))
     seen = sink.messages
     while sink.messages < seen + 4:
         time.sleep(0.01)
-    assert le._step._cache_size() == compiled_before  # zero recompiles
+    assert le.compile_counts() == compiled_before  # zero recompiles
     p.stop(60)
 
     # DC gain flips from sum(h1) to sum(h2) at exactly one chunk boundary
