@@ -38,6 +38,13 @@ from pipe_tpu.parallel.chain import (
     SpectralGainStage,
     SpectralGateStage,
     MixStage,
+    DelayStage,
+    GateStage,
+    LimiterStage,
+    ChannelizerStage,
+    IQMixStage,
+    EnvelopeDetectorStage,
+    FMDiscriminatorStage,
 )
 
 __all__ = [
@@ -63,4 +70,11 @@ __all__ = [
     "SpectralGainStage",
     "SpectralGateStage",
     "MixStage",
+    "DelayStage",
+    "GateStage",
+    "LimiterStage",
+    "ChannelizerStage",
+    "IQMixStage",
+    "EnvelopeDetectorStage",
+    "FMDiscriminatorStage",
 ]

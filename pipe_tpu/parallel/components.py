@@ -318,3 +318,150 @@ class Mix(ShardedOp):
                 f"mix matrix shape {new.shape} != allocated {self._m.shape}"
             )
         return self._set_params(m=new)
+
+
+class Delay(ShardedOp):
+    """Pure delay / feedback echo. Feedback needs ``n_local % delay == 0``
+    (the recurrence reshapes to whole rows); otherwise the stage is pure
+    delay and ``set_feedback`` raises."""
+
+    def __init__(self, delay_frames: int, feedback: float = 0.0,
+                 wet: float = 1.0, dry: float = 0.0):
+        super().__init__()
+        self._args = (delay_frames, feedback, wet, dry)
+
+    def _make_stage(self, props):
+        return _chain.DelayStage(*self._args)
+
+    def set_feedback(self, fb) -> mutable.Mutation:
+        if self._stage is not None and not self._stage.can_feedback:
+            raise ValueError(
+                "this Delay cannot do feedback: the local chunk is not a "
+                "multiple of delay_frames"
+            )
+        return self._set_params(feedback=jnp.asarray(fb, jnp.float32))
+
+    def set_mix(self, wet, dry) -> mutable.Mutation:
+        return self._set_params(
+            wet=jnp.asarray(wet, jnp.float32), dry=jnp.asarray(dry, jnp.float32)
+        )
+
+
+class Gate(ShardedOp):
+    """Downward-expander noise gate."""
+
+    def __init__(self, threshold_db=-50.0, range_db=80.0, attack_ms=1.0,
+                 release_ms=200.0):
+        super().__init__()
+        self._kw = dict(
+            threshold_db=threshold_db, range_db=range_db,
+            attack_ms=attack_ms, release_ms=release_ms,
+        )
+
+    def _make_stage(self, props):
+        return _chain.GateStage(sample_rate=props.sample_rate, **self._kw)
+
+    def set(self, **kwargs) -> mutable.Mutation:
+        unknown = set(kwargs) - set(self._kw)
+        if unknown:
+            raise KeyError(f"unknown gate params: {sorted(unknown)}")
+        return self._set_params(
+            **{k: jnp.asarray(v, jnp.float32) for k, v in kwargs.items()}
+        )
+
+
+class Limiter(ShardedOp):
+    """Peak limiter (infinite-ratio compressor)."""
+
+    def __init__(self, threshold_db=-1.0, attack_ms=0.5, release_ms=50.0,
+                 makeup_db=0.0):
+        super().__init__()
+        self._kw = dict(
+            threshold_db=threshold_db, attack_ms=attack_ms,
+            release_ms=release_ms, makeup_db=makeup_db,
+        )
+
+    def _make_stage(self, props):
+        return _chain.LimiterStage(sample_rate=props.sample_rate, **self._kw)
+
+    def set(self, **kwargs) -> mutable.Mutation:
+        unknown = set(kwargs) - set(self._kw)
+        if unknown:
+            raise KeyError(f"unknown limiter params: {sorted(unknown)}")
+        return self._set_params(
+            **{k: jnp.asarray(v, jnp.float32) for k, v in kwargs.items()}
+        )
+
+
+class Channelizer(ShardedOp):
+    """K-channel polyphase DFT filterbank; emits ``C * 2 * (K//2+1)``
+    stacked re/im channels at rate ``sr/K``."""
+
+    def __init__(self, num_channels: int, taps_per_branch: int = 16):
+        super().__init__()
+        self._args = (num_channels, taps_per_branch)
+
+    def _make_stage(self, props):
+        return _chain.ChannelizerStage(*self._args)
+
+    def _out_props(self, props, stage):
+        K = stage.K
+        return SignalProperties(
+            sample_rate=props.sample_rate / K,
+            channels=props.channels * 2 * (K // 2 + 1),
+        )
+
+    def _out_frames(self, frames, stage):
+        return frames // stage.K
+
+    def set_prototype(self, h) -> mutable.Mutation:
+        from pipe_tpu.ops.channelizer import polyphase_branches
+
+        gp = jnp.asarray(
+            polyphase_branches(np.asarray(h, np.float64), self._args[0]),
+            jnp.float32,
+        )
+        return self._set_params(gp=gp)
+
+
+class IQMix(ShardedOp):
+    """Quadrature downconverter: ``(C, N) -> (2C, N)`` with per-shard
+    [I..., Q...] rail pairing; exact integer phase at each device's global
+    sample position."""
+
+    def __init__(self, freq_hz: float):
+        super().__init__()
+        self._freq = float(freq_hz)
+
+    def _make_stage(self, props):
+        return _chain.IQMixStage(self._freq, sample_rate=props.sample_rate)
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate, channels=2 * props.channels
+        )
+
+
+class EnvelopeDetector(ShardedOp):
+    """AM detector over local I/Q pairs: ``(2C, N) -> (C, N)``."""
+
+    def _make_stage(self, props):
+        return _chain.EnvelopeDetectorStage()
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate, channels=props.channels // 2
+        )
+
+
+class FMDiscriminator(ShardedOp):
+    """Quadrature FM discriminator over local I/Q pairs:
+    ``(2C, N) -> (C, N)`` instantaneous frequency in cycles/sample."""
+
+    def _make_stage(self, props):
+        return _chain.FMDiscriminatorStage()
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate, channels=props.channels // 2
+        )

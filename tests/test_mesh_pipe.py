@@ -340,3 +340,69 @@ def test_mesh_stateful_component_needs_spec():
     )
     with pytest.raises(Exception, match="state_spec"):
         run_pipe(p)
+
+
+def test_mesh_echo_limiter_chain_with_pushes(rng):
+    """The new dynamics kit behind the Pipe API: feedback echo + limiter on
+    a time-sharded mesh, with live set_feedback / set pushes."""
+    C, BLOCK = 2, 4096
+    mesh = parallel.make_mesh(1, 4)
+    data = (rng.standard_normal((C, BLOCK * 3)) * 0.5).astype(np.float32)
+
+    echo = parallel.sharded.Delay(256, feedback=0.5, wet=0.5, dry=1.0)
+    lim = parallel.sharded.Limiter(threshold_db=-6.0)
+    gate = parallel.sharded.Gate(threshold_db=-60.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[echo.processor(), gate.processor(), lim.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    p.start()
+    p.push(echo.set_feedback(0.3), at_block=2)
+    p.push(lim.set(threshold_db=-3.0), at_block=2)
+    p.wait(120)
+    out = sink.values
+    assert out.shape == data.shape
+    assert np.isfinite(out).all()
+    # the limiter must actually bound the envelope tail
+    assert np.abs(out[:, BLOCK:]).max() < 1.5
+
+
+def test_mesh_channelizer_via_pipe(rng):
+    """Channelizer through the mesh Pipe: rate change K down, channel
+    expansion to C*2*(K//2+1), matching the streaming engine."""
+    K, C, BLOCK = 8, 2, 4096
+    data = rng.standard_normal((C, BLOCK * 2)).astype(np.float32)
+
+    s_ch = ops.Channelizer(K, taps_per_branch=8)
+    s_sink = mock.Sink()
+    p1 = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(
+            source=feed_source(data, C, sample_rate=48000.0),
+            processors=[s_ch.processor()],
+            sink=s_sink.sink(),
+        ),
+    )
+    run_pipe(p1)
+
+    mesh = parallel.make_mesh(1, 4)
+    m_ch = parallel.sharded.Channelizer(K, taps_per_branch=8)
+    m_sink = mock.Sink()
+    p2 = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C, sample_rate=48000.0),
+            processors=[m_ch.processor()],
+            sink=m_sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p2)
+    assert m_sink.values.shape == s_sink.values.shape
+    np.testing.assert_allclose(m_sink.values, s_sink.values, atol=2e-5)

@@ -501,3 +501,224 @@ def test_ols_partitioned_matches_streaming_engine(rng):
     run_pipe(p2)
     assert m_sink.values.shape == s_sink.values.shape
     assert snr_db(s_sink.values.astype(np.float64), m_sink.values) > 120
+
+
+def test_delay_stage_pure_time_sharded(rng):
+    """Pure delay: the tap is a D-sample halo; matches a shifted copy."""
+    D = 300  # does not divide n_local=1024 -> pure-delay regime
+    x = rng.standard_normal((2, 4096 * 2)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    st = parallel.DelayStage(D, wet=1.0, dry=0.25)
+    chain = parallel.ShardedChain(mesh, [st], channels=2, chunk_frames=4096)
+    assert not st.can_feedback
+    out = chain.process(x)
+    delayed = np.concatenate(
+        [np.zeros((2, D), np.float64), x.astype(np.float64)[:, :-D]], axis=1
+    )
+    oracle = 0.25 * x.astype(np.float64) + delayed
+    assert snr_db(oracle, out) > 130
+
+
+def test_delay_stage_feedback_echo_cross_device(rng):
+    """Feedback echo: the block recurrence crosses device boundaries via
+    the affine prefix (s[n] = x[n] + fb*s[n-D])."""
+    D, fb = 256, 0.6
+    x = rng.standard_normal((2, 4096 * 3)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    st = parallel.DelayStage(D, feedback=fb, wet=0.8, dry=0.5)
+    chain = parallel.ShardedChain(mesh, [st], channels=2, chunk_frames=4096)
+    assert st.can_feedback
+    out = chain.process(x)
+
+    a = np.zeros(D + 1)
+    a[0], a[D] = 1.0, -fb
+    s = scipy.signal.lfilter([1.0], a, x.astype(np.float64), axis=1)
+    delayed = np.concatenate([np.zeros((2, D)), s[:, :-D]], axis=1)
+    oracle = 0.5 * x.astype(np.float64) + 0.8 * delayed
+    assert snr_db(oracle, out) > 90  # f32 feedback recursion
+
+
+def test_delay_stage_feedback_needs_divisibility():
+    with pytest.raises(ValueError, match="multiple of delay_frames"):
+        parallel.ShardedChain(
+            parallel.make_mesh(1, 4),
+            [parallel.DelayStage(300, feedback=0.5)],
+            channels=2,
+            chunk_frames=4096,
+        )
+
+
+def test_gate_and_limiter_stages_match_streaming(rng):
+    """Sharded gate/limiter == the streaming dynamics engine on the same
+    signal (cross-device envelope prefix correctness)."""
+    import jax.numpy as jnp
+    from pipe_tpu.ops.dynamics import envelope_block, compressor_gain, _decay_coef
+
+    C, chunk = 2, 4096
+    # bursty signal so the gate actually opens and closes
+    x = (rng.standard_normal((C, chunk * 2)) * 0.5).astype(np.float32)
+    x[:, 3000:6000] *= 0.01
+    mesh = parallel.make_mesh(1, 4)
+
+    gate = parallel.GateStage(threshold_db=-30.0, range_db=60.0,
+                              attack_ms=1.0, release_ms=80.0,
+                              sample_rate=44100.0)
+    gchain = parallel.ShardedChain(mesh, [gate], channels=C, chunk_frames=chunk)
+    gy = gchain.process(x)
+
+    rc = _decay_coef(jnp.asarray(80.0), 44100.0)
+    ac = _decay_coef(jnp.asarray(1.0), 44100.0)
+    _, env = envelope_block(
+        jnp.zeros((C, 2), jnp.float32), jnp.abs(jnp.asarray(x)),
+        jnp.asarray(x.shape[1], jnp.int32), rc, ac,
+    )
+    env_db = 20.0 * np.log10(np.maximum(np.asarray(env), 1e-8))
+    g = np.where(env_db >= -30.0, 1.0, 10.0 ** (-60.0 / 20.0))
+    np.testing.assert_allclose(gy, x * g, atol=3e-5)
+
+    lim = parallel.LimiterStage(threshold_db=-6.0, attack_ms=0.5,
+                                release_ms=40.0, sample_rate=44100.0)
+    lchain = parallel.ShardedChain(mesh, [lim], channels=C, chunk_frames=chunk)
+    ly = lchain.process(x)
+    rc2 = _decay_coef(jnp.asarray(40.0), 44100.0)
+    ac2 = _decay_coef(jnp.asarray(0.5), 44100.0)
+    _, env2 = envelope_block(
+        jnp.zeros((C, 2), jnp.float32), jnp.abs(jnp.asarray(x)),
+        jnp.asarray(x.shape[1], jnp.int32), rc2, ac2,
+    )
+    g2 = compressor_gain(env2, jnp.asarray(-6.0), jnp.asarray(np.inf),
+                         jnp.asarray(0.0))
+    oracle = np.asarray(x * np.asarray(g2), np.float64)
+    assert snr_db(oracle, ly) > 90
+
+
+def test_channelizer_stage_matches_streaming(rng):
+    """Sharded polyphase filterbank == the streaming Channelizer on the
+    same stream (history halo correctness)."""
+    import pipe_tpu
+    from pipe_tpu import mock
+    from tests.test_mesh_pipe import feed_source, run_pipe
+
+    K = 8
+    x = rng.standard_normal((2, 4096 * 2)).astype(np.float32)
+
+    s_ch = ops.Channelizer(K, taps_per_branch=8)
+    s_sink = mock.Sink()
+    p1 = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(
+            source=feed_source(x, 2, sample_rate=48000.0),
+            processors=[s_ch.processor()],
+            sink=s_sink.sink(),
+        ),
+    )
+    run_pipe(p1)
+
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.ChannelizerStage(K, taps_per_branch=8)],
+        channels=2,
+        chunk_frames=4096,
+    )
+    out = chain.process(x)
+    assert out.shape == s_sink.values.shape
+    np.testing.assert_allclose(out, s_sink.values, atol=2e-5)
+
+
+def test_fm_receiver_chain_time_sharded(rng):
+    """IQ mix -> lowpass FIR -> FM discriminator, time-sharded, vs the
+    streaming demod chain: the exact-phase oscillator offsets per device
+    and the one-sample discriminator halo must line up globally."""
+    import pipe_tpu
+    from pipe_tpu import mock
+    from tests.test_mesh_pipe import feed_source, run_pipe
+
+    sr = 48000.0
+    n = 4096 * 2
+    t = np.arange(n) / sr
+    # FM tone at 12 kHz carrier, 1 kHz message, 2 kHz deviation
+    msg = np.sin(2 * np.pi * 1000.0 * t)
+    phase = 2 * np.pi * 12000.0 * t + (2000.0 / 1000.0) * np.sin(
+        2 * np.pi * 1000.0 * t
+    )
+    x = np.cos(phase).astype(np.float32)[None, :]
+    h = np.asarray(ops.design_lowpass(63, 4000, sr))
+
+    s_sink = mock.Sink()
+    p1 = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(
+            source=feed_source(x, 1, sample_rate=sr),
+            processors=ops.fm_demod_factory(12000.0, h),
+            sink=s_sink.sink(),
+        ),
+    )
+    run_pipe(p1)
+
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [
+            parallel.IQMixStage(12000.0, sample_rate=sr),
+            parallel.FIRStage(h),
+            parallel.FMDiscriminatorStage(),
+        ],
+        channels=1,
+        chunk_frames=4096,
+    )
+    out = chain.process(x)
+    assert out.shape == s_sink.values.shape
+    np.testing.assert_allclose(out, s_sink.values, atol=2e-5)
+    # and it actually demodulates: the instantaneous-frequency deviation is
+    # d(phase)/dt - carrier = 2000*cos(2*pi*1000*t); compensate the FIR
+    # group delay (31 samples) when correlating
+    settle = 2000
+    gd = (len(h) - 1) // 2
+    expected = np.cos(2 * np.pi * 1000.0 * (t - gd / sr))
+    d = out[0, settle:] - out[0, settle:].mean()
+    m = expected[settle:] - expected[settle:].mean()
+    corr = float(np.dot(d, m) / (np.linalg.norm(d) * np.linalg.norm(m)))
+    assert corr > 0.95
+
+
+def test_am_envelope_chain_channel_and_time_sharded(rng):
+    """IQ mix -> FIR -> envelope detector over a 2x4 mesh == streaming AM
+    demod (per-shard I/Q pairing stays consistent under channel sharding)."""
+    import pipe_tpu
+    from pipe_tpu import mock
+    from tests.test_mesh_pipe import feed_source, run_pipe
+
+    sr = 48000.0
+    C, n = 2, 4096 * 2
+    t = np.arange(n) / sr
+    msg = 0.5 * (1.0 + 0.6 * np.sin(2 * np.pi * 800.0 * t))
+    x = (msg * np.cos(2 * np.pi * 10000.0 * t)).astype(np.float32)
+    x = np.stack([x, 0.7 * x])
+    h = np.asarray(ops.design_lowpass(63, 3000, sr))
+
+    s_sink = mock.Sink()
+    p1 = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(
+            source=feed_source(x, C, sample_rate=sr),
+            processors=ops.am_demod_factory(10000.0, h),
+            sink=s_sink.sink(),
+        ),
+    )
+    run_pipe(p1)
+
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [
+            parallel.IQMixStage(10000.0, sample_rate=sr),
+            parallel.FIRStage(h),
+            parallel.EnvelopeDetectorStage(),
+        ],
+        channels=C,
+        chunk_frames=4096,
+    )
+    out = chain.process(x)
+    assert out.shape == s_sink.values.shape
+    np.testing.assert_allclose(out, s_sink.values, atol=2e-5)
