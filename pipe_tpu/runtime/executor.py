@@ -160,12 +160,32 @@ class LineExecutor:
                         "or set state_spec/param_spec explicitly)"
                     )
 
+    @property
+    def _multiprocess(self) -> bool:
+        """True when the mesh spans multiple processes (multi-host): host
+        arrays must then be assembled per-process (device_put cannot target
+        non-addressable devices) and host-visible outputs are replicated so
+        every host's sink sees the whole stream."""
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _put_global(self, value, spec):
+        """Place a host array with a mesh sharding — every process holds
+        the identical global value; on multi-host only the addressable
+        shards are materialized."""
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(self.mesh, spec)
+        value = np.asarray(value)
+        if not self._multiprocess:
+            return jax.device_put(value, sharding)
+        return jax.make_array_from_callback(
+            value.shape, sharding, lambda idx: value[idx]
+        )
+
     def _place_states(self):
         """Pre-place component states with their run-time NamedSharding so
         the first step's donation can alias them (a freshly-created
         unsharded array cannot back a sharded output buffer)."""
-        from jax.sharding import NamedSharding
-
         for c in self.route.components():
             spec = self._spec_like(c.state, getattr(c, "state_spec", None))
             leaves, treedef = jax.tree.flatten(c.state)
@@ -173,10 +193,7 @@ class LineExecutor:
                 continue
             specs = treedef.flatten_up_to(spec)
             c.state = treedef.unflatten(
-                [
-                    jax.device_put(l, NamedSharding(self.mesh, s))
-                    for l, s in zip(leaves, specs)
-                ]
+                [self._put_global(l, s) for l, s in zip(leaves, specs)]
             )
 
     def _make_inner(self):
@@ -201,6 +218,13 @@ class LineExecutor:
             from pipe_tpu.parallel.mesh import TIME_AXIS
 
             n_local_in = self.block_size // self.mesh.shape[TIME_AXIS]
+        # multi-host: gather the host-visible output inside the step so
+        # every host's sink sees the whole stream (out_specs are then fully
+        # replicated — a host cannot read other hosts' shards)
+        gather_out = local and want_out and self._multiprocess
+        gather_ch = not any(
+            getattr(p, "reduces_channels", False) for p in procs
+        )
 
         def inner(states, params, fed):
             src_state, proc_states, sink_state = states
@@ -236,7 +260,17 @@ class LineExecutor:
                 new_sink_state = sink.step(sink_state, sink_params, sig)
                 sink_state = _gate(valid, new_sink_state, sink_state)
 
-            out = (sig.data, sig.frames) if want_out else None
+            if want_out:
+                d = sig.data
+                if gather_out:
+                    from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+                    d = jax.lax.all_gather(d, TIME_AXIS, axis=1, tiled=True)
+                    if gather_ch:
+                        d = jax.lax.all_gather(d, CH_AXIS, axis=0, tiled=True)
+                out = (d, sig.frames)
+            else:
+                out = None
             return (src_state, tuple(new_proc_states), sink_state), out, eof
 
         return inner
@@ -303,6 +337,13 @@ class LineExecutor:
         for p in self.route.processors:
             if getattr(p, "reduces_channels", False):
                 out_ch = None
+        out_time = TIME_AXIS
+        if self._multiprocess and want_out:
+            # multi-host: replicate the host-visible output so every host's
+            # sink receives the full stream (a host cannot read shards on
+            # other hosts' devices)
+            out_ch = None
+            out_time = None
 
         if kind == "single":
             fed_spec = (
@@ -310,7 +351,7 @@ class LineExecutor:
                 if self.route.source.feed is not None
                 else None
             )
-            out_spec = (P(out_ch, TIME_AXIS), P()) if want_out else None
+            out_spec = (P(out_ch, out_time), P()) if want_out else None
             mapped = shard_map(
                 inner,
                 mesh=self.mesh,
@@ -324,7 +365,7 @@ class LineExecutor:
                 (P(None, CH_AXIS, TIME_AXIS), P(None)) if consumes_fed else None
             )
             out_spec = (
-                (P(None, out_ch, TIME_AXIS), P(None)) if want_out else ()
+                (P(None, out_ch, out_time), P(None)) if want_out else ()
             )
             mapped = shard_map(
                 self._make_scan(inner, k, consumes_fed),
@@ -417,7 +458,7 @@ class LineExecutor:
     def _fed_to_device(self, data, frames, stacked: bool):
         if self.mesh is None:
             return jnp.asarray(data), jnp.asarray(frames, jnp.int32)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
         from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 
@@ -426,10 +467,8 @@ class LineExecutor:
         )
         f_spec = P(None) if stacked else P()
         return (
-            jax.device_put(data, NamedSharding(self.mesh, d_spec)),
-            jax.device_put(
-                np.asarray(frames, np.int32), NamedSharding(self.mesh, f_spec)
-            ),
+            self._put_global(data, d_spec),
+            self._put_global(np.asarray(frames, np.int32), f_spec),
         )
 
     def _dispatch_fed(self, budget: int):
@@ -533,6 +572,40 @@ class LineExecutor:
                     if n > 0:
                         sink.receive(data[:, :n])
         return None
+
+    def dispatch_noop(self):
+        """Abort-path dummy dispatch (multi-host protocol,
+        ``pipe_tpu.parallel.hostsync``): mirrors a regular execute call's
+        device collectives — same batch shape — so peer hosts' in-flight
+        chunks can complete instead of hanging in a half-issued collective.
+        Outputs are discarded (nothing reaches the sink)."""
+        src = self.route.source
+        k = self.batch_blocks
+        if src.feed is not None:
+            C = src.output.channels
+            if k > 1:
+                fed = self._fed_to_device(
+                    np.zeros((k, C, self.block_size), np.float32),
+                    np.zeros((k,), np.int32),
+                    stacked=True,
+                )
+                states, _, _ = self._get_step("scan_fed")(
+                    self._states(), self._params(), fed
+                )
+            else:
+                fed = self._fed_to_device(
+                    np.zeros((C, self.block_size), np.float32), 0, stacked=False
+                )
+                states, _, _ = self._get_step("single")(
+                    self._states(), self._params(), fed
+                )
+        else:
+            kind = "scan" if k > 1 else "single"
+            states, _, _ = self._get_step(kind)(
+                self._states(), self._params(), None
+            )
+        self._writeback(states)
+        self.blocks_dispatched += k
 
     def drain(self):
         """Resolve every in-flight block (normal end-of-stream and flush
@@ -674,6 +747,10 @@ class MultiLineExecutor:
     def apply_mutations(self, ms: mutable.Mutations) -> None:
         for le in self.executors:
             le.apply_mutations(ms)
+
+    def dispatch_noop(self) -> None:
+        for le in self.executors:
+            le.dispatch_noop()
 
     def adopt_line(self, le: LineExecutor) -> None:
         """Start and append a new line at a block boundary (the analog of

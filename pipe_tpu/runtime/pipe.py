@@ -100,7 +100,7 @@ class _Handle:
 class Pipe:
     """A graph of bound lines (``pipe.go:14-30,105-126``)."""
 
-    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1, mesh=None):
+    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1, mesh=None, host_sync_every: int = 16):
         if not lines:
             raise ValueError("pipe without lines")
         self.block_size = block_size
@@ -110,6 +110,11 @@ class Pipe:
         # host feed/receive — stays identical. block_size is then the GLOBAL
         # chunk per step.
         self.mesh = mesh
+        # Multi-host (multi-process mesh): period, in dispatches, of the
+        # cross-host health round that implements first-error-wins across
+        # the process group (pipe_tpu.parallel.hostsync). Identical streams
+        # must be fed on every host; host sinks receive the full stream.
+        self.host_sync_every = host_sync_every
         self.stats = stats  # optional pipe_tpu.StatsRecorder
         # Blocks kept in flight per line before forcing results (dispatch
         # pipelining; 1 = the reference's exact next-buffer semantics).
@@ -128,11 +133,22 @@ class Pipe:
                 route = make_route(line, block_size)  # raises AllocationError
                 self._register_route(route)
 
+        if self._multiprocess and len(self._executors) > 1:
+            raise ValueError(
+                "multi-host pipes currently support a single line/executor "
+                "(the cross-host health rounds must be collectively aligned)"
+            )
         self._merger: Optional[_Merger] = None
         self._cancel = threading.Event()
         self._mutations_q: "queue.Queue" = queue.Queue()
         self._control: Optional[threading.Thread] = None
         self._running = False
+
+    @property
+    def _multiprocess(self) -> bool:
+        import jax
+
+        return self.mesh is not None and jax.process_count() > 1
 
     # -- registry (reference pipe.go:128-194) ------------------------------
 
@@ -205,7 +221,31 @@ class Pipe:
         """Per-executor thread body (``run.go:171-196``): start (no flush on
         start failure for async executors — the reference defers flush only
         after a successful start), execute until EOF/cancel/error, always
-        flush, report first error."""
+        flush, report first error. On a multi-process mesh the loop also
+        runs the aligned cross-host health rounds (first-error-wins across
+        the group, ``pipe_tpu.parallel.hostsync``)."""
+        from pipe_tpu.parallel.hostsync import HostSync, PeerAbortError
+
+        sync = HostSync(self.host_sync_every) if self._multiprocess else None
+
+        def flag_peers():
+            # Tell peers to abort: first pad this host's device collectives
+            # with dummy dispatches up to the next aligned health round (a
+            # time-sharded chunk is a CROSS-HOST computation — peers would
+            # otherwise hang inside a half-issued collective), then join
+            # that round with flag=1. Best-effort: a dead coordinator must
+            # not mask the original error. Device-side compute failures
+            # (vs host-side feed/hook/sink errors) cannot be padded over;
+            # those rely on the distributed runtime's own failure detection.
+            if sync is None:
+                return
+            try:
+                for _ in range(sync.remaining_to_round()):
+                    executor.dispatch_noop()
+                sync.check(flag=1)
+            except Exception:  # noqa: BLE001
+                pass
+
         try:
             executor.start_hook()
         except Exception as e:  # noqa: BLE001
@@ -215,9 +255,11 @@ class Pipe:
                 err = StartError(f"error starting: {e}")
                 err.__cause__ = e
                 self._merger.report(err)
+            flag_peers()
             return
 
         err_exec: Optional[BaseException] = None
+        eof_exit = False
         try:
             while not self._cancel.is_set():
                 dest = executor.dest
@@ -231,13 +273,27 @@ class Pipe:
                     # mutation so it lands exactly there
                     stop_before = dest.next_target(frontier)
                 if executor.execute(stop_before) is EOF:
+                    eof_exit = True
                     break
+                if sync is not None and sync.due():
+                    sync.check(flag=0)  # raises PeerAbortError on peer fail
+        except PeerAbortError as e:
+            # a clean stop() racing a peer's stop is not an error
+            if not self._cancel.is_set():
+                err_exec = RunError(f"error running: {e}")
+                err_exec.__cause__ = e
+            # the flagging peer made its final round already: do NOT re-sync
+            sync = None
         except Exception as e:  # noqa: BLE001
             err_exec = RunError(f"error running: {e}")
             err_exec.__cause__ = e
 
         if err_exec is not None:
             self._merger.report(err_exec)
+            flag_peers()
+        elif not eof_exit:
+            # cancelled (stop()): release peers from their next round
+            flag_peers()
         try:
             executor.flush_hook()
         except Exception as e:  # noqa: BLE001

@@ -1,0 +1,121 @@
+"""Worker for the multi-host STREAMING tests (see test_distributed.py):
+one of N identical processes running the full Pipe runtime over a global
+mesh — chunk-after-chunk streaming with carried state across DCN, a
+block-indexed mutation landing on the same sample on every host, and
+first-error-wins abort across the process group.
+
+Usage: python dcn_stream_worker.py <mode> <process_id> <num_processes> <coordinator>
+modes: stream | abort
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    mode, pid, nproc, coord = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+
+    import numpy as np
+    import scipy.signal
+
+    import pipe_tpu
+    from pipe_tpu import mock, ops, parallel
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties, snr_db
+
+    parallel.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc
+
+    # time axis spans BOTH processes: the FIR halo crosses the process
+    # boundary (the DCN edge) every single chunk
+    mesh = parallel.make_global_mesh(channel_shards=1, time_shards=2 * nproc)
+
+    C, CHUNK, N_CHUNKS = 2, 512, 1000
+    h1 = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    h2 = h1 * 0.5
+    SWITCH = 500  # block index of the retune
+
+    rng = np.random.default_rng(7)  # identical stream on every host
+    data = rng.standard_normal((C, CHUNK * N_CHUNKS)).astype(np.float32)
+    pos = [0]
+    fail_at = [None]
+
+    def feed(n):
+        if fail_at[0] is not None and pos[0] >= fail_at[0] * CHUNK:
+            raise IOError(f"injected failure on host {pid}")
+        if pos[0] >= data.shape[1]:
+            return None
+        c = data[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    def src_alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+    fir = parallel.sharded.FIR(h1)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        CHUNK,
+        pipe_tpu.Line(
+            source=src_alloc, processors=[fir.processor()], sink=sink.sink()
+        ),
+        mesh=mesh,
+        host_sync_every=16,
+    )
+
+    if mode == "stream":
+        p.start()
+        # every host pushes the SAME mutation at the SAME stream block —
+        # block-indexed delivery makes the landing deterministic across the
+        # group (no cross-host control channel needed)
+        p.push(fir.set_taps(h2), at_block=SWITCH)
+        p.wait(600.0)
+
+        out = sink.values
+        assert out.shape == data.shape, out.shape
+        x64 = data.astype(np.float64)
+        y1 = scipy.signal.lfilter(h1, [1.0], x64, axis=1)
+        y2 = scipy.signal.lfilter(h2, [1.0], x64, axis=1)
+        s = SWITCH * CHUNK
+        oracle = np.concatenate([y1[:, :s], y2[:, s:]], axis=1)
+        snr = snr_db(oracle, out)
+        assert snr > 100, f"host {pid}: SNR {snr:.1f} dB"
+        print(f"stream proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
+    if mode == "abort":
+        # host 1 fails mid-stream; host 0 must abort via the health round
+        if pid == 1:
+            fail_at[0] = 40
+        p.start()
+        try:
+            p.wait(600.0)
+        except Exception as e:  # noqa: BLE001
+            kind = type(e).__name__
+            cause = type(e.__cause__).__name__ if e.__cause__ else ""
+            print(f"abort proc {pid} raised {kind}/{cause}: {e}", flush=True)
+            if pid == 1:
+                assert "injected failure" in str(e), e
+            else:
+                assert "peer" in str(e).lower(), e
+            print(f"abort proc {pid} OK", flush=True)
+            return
+        raise AssertionError(f"proc {pid}: expected the run to fail")
+
+    raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
