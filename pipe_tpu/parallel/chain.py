@@ -22,9 +22,10 @@ Stage coverage (BASELINE.json config 5 chain and friends):
   identical at every boundary)
 - :class:`OLSStage`       — chunk-granular overlap-save FFT convolution,
   P-sample halo
-- :class:`BiquadStage`    — IIR sharded over time via associative scan
-  *across devices*: per-device affine-scan totals are all-gathered (2x2
-  per channel) and prefix-combined, then local outputs corrected
+- :class:`BiquadStage`    — IIR sharded over time on the tiled Toeplitz
+  kernel: per-device zero-state responses plus a cross-device exclusive
+  prefix of 2x2 affine totals, then a rank-2 boundary correction and one
+  refinement pass (see :func:`_sharded_iir`)
 - :class:`MixStage`       — (C_out, C_in) matrix mix reduced with ``psum``
   over the channel axis: the 'merged mixer sink'. Must be last.
 """
@@ -371,15 +372,60 @@ class OLSStage(Stage):
         return {"prev": new_prev, "fdl": new_fdl}, y
 
 
-class BiquadStage(Stage):
-    """One biquad section, time-sharded. Local affine scan + cross-device
-    exclusive prefix of the per-device scan totals."""
+def _sharded_iir(v, s, a1, a2, basis):
+    """Pole recurrence ``y[n] = v[n] - a1 y[n-1] - a2 y[n-2]`` over a
+    time-sharded chunk, built from the streaming engine's tiled Toeplitz
+    kernel (``ops.biquad._iir_apply``) instead of a materialized
+    (N, C, 2, 2) associative scan:
 
-    def __init__(self, sos_row):
+      1. zero-entering-state local response ``y0`` — the hot pass, MXU
+         Toeplitz tiles (or the assoc scan for small local chunks);
+      2. ``basis = (alpha, beta)`` — length-N responses to unit entering
+         states, one (2, N) pass through the same kernel (shared between
+         the main and the refinement call, so passed in);
+      3. per-device affine totals (transition matrix from the basis tails,
+         forcing from the ``y0`` tails) exclusive-prefix-combined across
+         the time axis to recover each device's true entering state;
+      4. rank-2 boundary correction ``y = y0 + s0_1*alpha + s0_2*beta``.
+    """
+    from pipe_tpu.ops.biquad import _iir_apply
+
+    C, N = v.shape
+    alpha, beta = basis[0], basis[1]  # (N,), (N,)
+    y0 = _iir_apply(v, jnp.zeros((C, 2), jnp.float32), a1, a2)
+
+    # transition of (y[-1], y[-2]) over one local chunk, channel-independent
+    A_N = jnp.stack(
+        [jnp.stack([alpha[N - 1], beta[N - 1]]),
+         jnp.stack([alpha[N - 2], beta[N - 2]])]
+    )  # (2, 2)
+    u_N = jnp.stack([y0[:, N - 1], y0[:, N - 2]], axis=1)  # (C, 2)
+    unit = (
+        jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (C, 2, 2)),
+        jnp.zeros((C, 2), jnp.float32),
+    )
+    pre = exclusive_prefix(
+        TIME_AXIS, _affine_combine, unit,
+        (jnp.broadcast_to(A_N[None], (C, 2, 2)), u_N),
+    )
+    hi = lax.Precision.HIGHEST
+    s0 = jnp.einsum("cij,cj->ci", pre[0], s, precision=hi) + pre[1]
+    return y0 + s0[:, 0:1] * alpha[None, :] + s0[:, 1:2] * beta[None, :]
+
+
+class BiquadStage(Stage):
+    """One biquad section, time-sharded on the streaming engine's tiled
+    Toeplitz kernel (see :func:`_sharded_iir`), with one iterative-
+    refinement pass on the pole recurrence (``ops.biquad._iir_refine``
+    mechanics, here crossing the device boundary like the main pass) to
+    clear 100 dB on high-Q poles. ``refine=False`` skips the second pass."""
+
+    def __init__(self, sos_row, refine: bool = True):
         sos = np.asarray(sos_row, np.float64).reshape(-1)
         if sos.shape[0] != 6:
             raise ValueError("BiquadStage takes one SOS row")
         self._sos = jnp.asarray(sos / sos[3], jnp.float32)
+        self._refine = bool(refine)
 
     def build(self, c_global, c_local, n_local):
         self.carry = {
@@ -392,6 +438,8 @@ class BiquadStage(Stage):
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
     def apply(self, carry, params, x):
+        from pipe_tpu.ops.biquad import _iir_apply
+
         C, N = x.shape
         coefs = params["sos"]
         b0, b1, b2, a1, a2 = coefs[0], coefs[1], coefs[2], coefs[4], coefs[5]
@@ -400,30 +448,26 @@ class BiquadStage(Stage):
         buf = jnp.concatenate([x_tail, x], axis=1)
         v = b0 * buf[:, 2:] + b1 * buf[:, 1:-1] + b2 * buf[:, :-2]
 
-        A = jnp.stack(
-            [jnp.stack([-a1, -a2]),
-             jnp.stack([jnp.ones_like(a1), jnp.zeros_like(a1)])]
+        # unit-state boundary responses, shared by both passes
+        basis = _iir_apply(
+            jnp.zeros((2, N), jnp.float32), jnp.eye(2, dtype=jnp.float32),
+            a1, a2,
         )
-        As = jnp.broadcast_to(A[None, None], (N, C, 2, 2))
-        us = jnp.stack([v, jnp.zeros_like(v)], axis=-1)  # (C, N, 2)
-        us_t = jnp.swapaxes(us, 0, 1)  # (N, C, 2)
-        Pn, q = lax.associative_scan(_affine_combine, (As, us_t), axis=0)
+        y = _sharded_iir(v, carry["s"], a1, a2, basis)
+        if self._refine:
+            # f32 defect of the recurrence, with the previous two outputs
+            # crossing the device boundary as a halo; the filtered defect
+            # is itself a (zero-state) recurrence across the whole chunk
+            y_prev = halo_from_left(y, 2, TIME_AXIS, carry["s"][:, ::-1])
+            ybuf = jnp.concatenate([y_prev, y], axis=1)
+            r = v - (y + a1 * ybuf[:, 1:-1] + a2 * ybuf[:, :-2])
+            y = y + _sharded_iir(
+                r, jnp.zeros((C, 2), jnp.float32), a1, a2, basis
+            )
 
-        # device-local totals -> exclusive prefix across the time axis
-        unit = (
-            jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32), (C, 2, 2)),
-            jnp.zeros((C, 2), jnp.float32),
+        new_s = last_shard(
+            jnp.stack([y[:, -1], y[:, -2]], axis=1), TIME_AXIS
         )
-        pre = exclusive_prefix(
-            TIME_AXIS, _affine_combine, unit, (Pn[-1], q[-1])
-        )
-        # chunk-start state corrected by the devices to my left
-        hi = lax.Precision.HIGHEST
-        s0 = jnp.einsum("cij,cj->ci", pre[0], carry["s"], precision=hi) + pre[1]
-        s_all = jnp.einsum("ncij,cj->nci", Pn, s0, precision=hi) + q
-        y = jnp.swapaxes(s_all[..., 0], 0, 1)
-
-        new_s = last_shard(s_all[-1], TIME_AXIS)
         new_x_tail = last_shard(x[:, -2:], TIME_AXIS)
         return {"x_tail": new_x_tail, "s": new_s}, y
 

@@ -78,8 +78,8 @@ def test_ols_time_sharded(rng):
 
 
 def test_biquad_time_sharded_cross_device_scan(rng):
-    """IIR feedback crossing 4 device boundaries via the mesh-wide
-    associative scan must match sequential sosfilt."""
+    """IIR feedback crossing 4 device boundaries via the tiled kernel +
+    cross-device prefix + refinement must match sequential sosfilt."""
     sos = ops.design_peaking_eq(44100, freq=1000, q=2.0, gain_db=6.0)
     x = rng.standard_normal((2, 4096)).astype(np.float32)
     mesh = parallel.make_mesh(1, 4)
@@ -88,7 +88,29 @@ def test_biquad_time_sharded_cross_device_scan(rng):
     )
     out = chain.process(x)
     oracle = scipy.signal.sosfilt(sos[None, :], x.astype(np.float64), axis=1)
-    assert snr_db(oracle, out) > 75  # f32 recursion bound
+    assert snr_db(oracle, out) > 100
+
+
+def test_biquad_time_sharded_high_q_100db(rng):
+    """VERDICT r1 item 7: |pole|~=0.995 EQ at 100 dB vs the float64 oracle
+    on a sharded mesh, multi-chunk so the refined carry crosses both the
+    chunk and the device boundary; parity with the streaming engine."""
+    from tests.test_ops import stream_through
+
+    sos = ops.design_peaking_eq(44100, freq=1000, q=10.0, gain_db=6.0)
+    assert np.sqrt(sos[5]) >= 0.9949
+    x = rng.standard_normal((8, 16384)).astype(np.float32)
+    mesh = parallel.make_mesh(2, 4)
+    chain = parallel.ShardedChain(
+        mesh, [parallel.BiquadStage(sos)], channels=8, chunk_frames=4096
+    )
+    out = chain.process(x)
+    oracle = scipy.signal.sosfilt(sos[None, :], x.astype(np.float64), axis=1)
+    assert snr_db(oracle, out) > 100
+    streamed = stream_through(
+        [ops.Biquad(sos).processor()], x, block=4096
+    )
+    assert snr_db(streamed.astype(np.float64), out) > 100
 
 
 def test_mix_psum_merged_sink(rng):
