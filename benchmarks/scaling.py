@@ -13,12 +13,21 @@ numbers are only meaningful on real hardware).
 
 One JSON line per mesh size:
   {"devices": N, "mesh": "CxT", "samples_per_s": ..., "efficiency": ...}
+
+``--collectives`` instead performs STATIC collective-traffic accounting:
+it compiles each stage's sharded chunk step on the virtual mesh, walks the
+optimized HLO, and sums the bytes moved by every collective op per step —
+arithmetic backing for the ≥80% scaling claim (collective bytes per chunk
+must stay small against the per-device chunk payload; see
+docs/PERF_NOTES.md). Shapes in SPMD HLO are per-device, so the numbers are
+per-device per-chunk.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -84,7 +93,90 @@ def measure(ch: int, t: int) -> float:
     return C * chunk / dt
 
 
+# -- static collective-traffic accounting (--collectives) -------------------
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
+    "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+    "pred": 1, "c64": 8, "c128": 16,
+}
+_COLL_RE = re.compile(
+    r"=\s+(\w+)\[([0-9,]*)\]\S*\s+"
+    r"(collective-permute|all-gather|all-reduce|reduce-scatter|all-to-all)\("
+)
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Sum output-shape bytes of every collective op in optimized HLO.
+    Convention: per-device per-step OUTPUT bytes (for all-gather that is the
+    full gathered buffer; a device's received traffic is (g-1)/g of it, and
+    a ring all-reduce moves ~2x — the table stays in raw output bytes and
+    notes the convention)."""
+    out: dict = {}
+    for dtype, dims, kind in _COLL_RE.findall(hlo_text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[kind] = out.get(kind, 0) + n * _DTYPE_BYTES.get(dtype, 4)
+    return out
+
+
+def account_collectives():
+    from pipe_tpu import parallel as par
+
+    mesh = par.make_mesh(2, 4)
+    C = 16
+    rng = np.random.default_rng(0)
+    sos = ops.design_peaking_eq(44100, freq=1000, q=10.0, gain_db=6.0)
+    h255 = ops.design_lowpass(255, 4000, 44100)
+    ir64k = (
+        rng.standard_normal(65536) * np.exp(-np.arange(65536) / 8000.0)
+    ).astype(np.float32)
+
+    cases = [
+        ("gain", [par.GainStage(0.5)], 32768),
+        ("fir255", [par.FIRStage(h255)], 32768),
+        ("fir_resample_160_147", [par.FIRResampleStage(h255, 48000, 44100)], 147 * 256 * 4),
+        ("ols_64k_reverb", [par.OLSStage(ir64k)], 32768),
+        ("biquad_refined", [par.BiquadStage(sos)], 32768),
+        ("biquad_norefine", [par.BiquadStage(sos, refine=False)], 32768),
+        ("compressor", [par.CompressorStage()], 32768),
+        ("spectral_gain_1024", [par.SpectralGainStage(1024, 256)], 32768),
+        ("mix_psum", [par.MixStage(np.ones((2, C), np.float32) / C)], 32768),
+    ]
+    for name, stages, chunk in cases:
+        chain = par.ShardedChain(mesh, stages, channels=C, chunk_frames=chunk)
+        x = np.zeros((C, chunk), np.float32)
+        txt = (
+            chain._step.lower(chain.carries, chain.params(), x)
+            .compile()
+            .as_text()
+        )
+        coll = collective_bytes(txt)
+        n_local = chunk // mesh.shape["time"]
+        c_local = C // mesh.shape["ch"]
+        payload = c_local * n_local * 4
+        total_coll = sum(coll.values())
+        print(
+            json.dumps(
+                {
+                    "stage": name,
+                    "chunk_frames": chunk,
+                    "payload_bytes_per_device": payload,
+                    "collective_bytes_per_device": total_coll,
+                    "ratio": round(total_coll / payload, 4),
+                    "by_kind": coll,
+                }
+            ),
+            flush=True,
+        )
+
+
 def main():
+    if "--collectives" in sys.argv:
+        account_collectives()
+        return
     total = len(jax.devices())
     sizes = sorted({1, 2, total // 2 if total >= 4 else total, total})
     base = None

@@ -621,7 +621,10 @@ class LineExecutor:
 
     def start_hook(self):
         """Start components in order; stop at the first failure, remembering
-        how many started so only those get flushed (``run.go:64-74``)."""
+        how many started so only those get flushed (``run.go:64-74``). A
+        restart is a NEW stream: the dispatch frontier — the coordinate
+        system of ``push(..., at_block=N)`` — rewinds to block 0."""
+        self.blocks_dispatched = 0
         for comp in self.route.components():
             if comp.start is not None:
                 comp.start()  # raises -> caller handles rollback

@@ -1,7 +1,14 @@
-"""Soak test: a long-running async pipe under a barrage of live mutations
+"""Soak tests: long-running async pipes under a barrage of live mutations
 and graph surgery — the integration stress the reference's race-detector
-CI provides implicitly (SURVEY.md §5: our analog is structural + this)."""
+CI provides implicitly (SURVEY.md §5: our analog is structural + this).
 
+The randomized matrix (`test_soak_randomized_*`) is the adversarial class:
+seeded random mutation schedules + surgery + EOF partial tail + restart,
+over thousands of blocks, under every lookahead/batch_blocks combination,
+with an EXACT sample-level oracle (targeted pushes land deterministically,
+so the expected output is computable in float64)."""
+
+import threading
 import time
 
 import numpy as np
@@ -9,6 +16,8 @@ import pytest
 
 import pipe_tpu
 from pipe_tpu import mock, ops
+from pipe_tpu.components import Source
+from pipe_tpu.signal import SignalProperties, snr_db
 
 
 def test_soak_mutations_and_surgery(rng):
@@ -67,3 +76,185 @@ def test_soak_mutations_and_surgery(rng):
     out2 = sink2.values
     assert out2.shape == (1, block * 40)
     assert np.allclose(out2, -1.0)
+
+
+def _step_gains(schedule, n_samples, block):
+    """Per-sample float64 gain curve from a (block_idx -> value) schedule."""
+    g = np.ones(n_samples, np.float64)
+    for b, v in schedule:
+        g[b * block :] = np.float64(np.float32(v))
+    return g
+
+
+@pytest.mark.parametrize(
+    "lookahead,batch_blocks", [(1, 1), (8, 1), (1, 32), (8, 32)]
+)
+def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
+    """VERDICT r1 item 8: seeded-random targeted mutations on two live
+    params, neutral mid-stream surgery (insert + add_line), an EOF partial
+    tail, and a full restart — under every perf-knob combination — checked
+    against an exact float64 oracle."""
+    seed = 1000 + lookahead * 100 + batch_blocks
+    r = np.random.default_rng(seed)
+    BLOCK, n_blocks, tail, C = 256, 1024, 73, 2
+    total = BLOCK * n_blocks + tail
+    data = r.standard_normal((C, total)).astype(np.float32)
+
+    gate = threading.Event()
+    pos = [0]
+
+    def feed(n):
+        gate.wait(60)
+        if pos[0] >= total:
+            return None
+        c = data[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+    g1, g2 = ops.Gain(1.0), ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=alloc,
+            processors=[g1.processor(), g2.processor()],
+            sink=sink.sink(),
+        ),
+        lookahead=lookahead,
+        batch_blocks=batch_blocks,
+    )
+    p.start()
+
+    # random schedules, queued while the gated feed pins the frontier at 0
+    # (every target is then strictly ahead: deterministic landing)
+    def schedule(gain):
+        blocks = np.sort(r.choice(np.arange(8, n_blocks), 30, replace=False))
+        vals = r.uniform(0.25, 2.0, blocks.size)
+        for b, v in zip(blocks, vals):
+            p.push(gain.set_gain(float(v)), at_block=int(b))
+        return list(zip(blocks.tolist(), vals.tolist()))
+
+    sched1, sched2 = schedule(g1), schedule(g2)
+    time.sleep(0.3)  # let the control thread drain the queue into the dest
+    gate.set()
+
+    # neutral surgery mid-flight: oracle-invariant, structurally real
+    deadline = time.time() + 120
+    while sink.samples < 32 * BLOCK and time.time() < deadline:
+        time.sleep(0.005)
+    g3 = ops.Gain(1.0)
+    h1 = p.insert_processor(0, int(r.integers(0, 3)), g3.processor())
+    assert h1.wait(60) and h1.error is None
+    side_src = mock.Source(channels=1, value=0.5, limit=10 * BLOCK)
+    side_sink = mock.Sink()
+    h2 = p.add_line(
+        pipe_tpu.Line(
+            source=side_src.source(),
+            processors=pipe_tpu.Processors(),
+            sink=side_sink.sink(),
+        )
+    )
+    assert h2.wait(60) and h2.error is None
+    for _ in range(5):  # untargeted but neutral: stresses routing only
+        p.push(g3.set_gain(1.0))
+        time.sleep(0.002)
+
+    p.wait(240)
+
+    out = sink.values
+    assert out.shape == (C, total)  # EOF partial tail fully delivered
+    oracle = (
+        data.astype(np.float64)
+        * _step_gains(sched1, total, BLOCK)
+        * _step_gains(sched2, total, BLOCK)
+    )
+    snr = snr_db(oracle, out)
+    assert snr > 100, f"first run: {snr:.1f} dB"
+    assert side_sink.values.shape == (1, 10 * BLOCK)
+    assert np.allclose(side_sink.values, 0.5)
+
+    # restart: initializers reset the params; the feed rewinds. The second
+    # pass re-runs the whole stream (surgery survivors included — all
+    # neutral or reset) against the plain-data oracle.
+    pos[0] = 0
+    gate.clear()  # re-pin the frontier so the new pushes cannot race it
+    p.start(g1.set_gain(1.0), g2.set_gain(1.0), g3.set_gain(1.0))
+    blocks = np.sort(r.choice(np.arange(8, n_blocks), 10, replace=False))
+    vals = r.uniform(0.5, 1.5, blocks.size)
+    for b, v in zip(blocks, vals):
+        p.push(g1.set_gain(float(v)), at_block=int(b))
+    time.sleep(0.3)
+    gate.set()
+    p.wait(240)
+    out2 = sink.values[:, total:]
+    assert out2.shape == (C, total)
+    oracle2 = data.astype(np.float64) * _step_gains(
+        list(zip(blocks.tolist(), vals.tolist())), total, BLOCK
+    )
+    snr2 = snr_db(oracle2, out2)
+    assert snr2 > 100, f"restart run: {snr2:.1f} dB"
+
+
+@pytest.mark.parametrize("batch_blocks", [1, 32])
+def test_soak_stop_midstream_under_load(batch_blocks):
+    """stop() while mutations are in flight on an unbounded stream: clean
+    exit at a block boundary, flush hooks run, no error raised."""
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, interval=0.002)  # unbounded
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        256,
+        pipe_tpu.Line(
+            source=src.source(),
+            processors=[gain.processor()],
+            sink=sink.sink(),
+        ),
+        lookahead=8,
+        batch_blocks=batch_blocks,
+    )
+    p.start()
+    deadline = time.time() + 60
+    while sink.samples < 256 and time.time() < deadline:
+        time.sleep(0.005)
+    for i in range(10):
+        p.push(gain.set_gain(1.0 + 0.1 * i))
+    p.stop(120)
+    assert sink.flushed
+    n = sink.values.shape[1]
+    assert n >= 256 and n % 256 == 0
+    assert np.isfinite(sink.values).all()
+
+
+def test_soak_failure_midstream_under_batching():
+    """A feed failure deep in a batched stream with pending targeted
+    mutations: first-error-wins, wait() raises, flush still runs."""
+    fed = [0]
+
+    def feed(n):
+        if fed[0] >= 200 * 256:
+            raise IOError("injected failure at block 200")
+        fed[0] += n
+        return np.ones((1, n), np.float32)
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, 1), feed=feed)
+
+    gain = ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        256,
+        pipe_tpu.Line(
+            source=alloc, processors=[gain.processor()], sink=sink.sink()
+        ),
+        lookahead=8,
+        batch_blocks=32,
+    )
+    p.start()
+    p.push(gain.set_gain(2.0), at_block=100)
+    p.push(gain.set_gain(0.5), at_block=3000)
+    with pytest.raises(pipe_tpu.errors.RunError):
+        p.wait(120)
+    assert sink.flushed
