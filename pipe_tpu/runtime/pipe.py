@@ -135,8 +135,11 @@ class Pipe:
 
         if self._multiprocess and len(self._executors) > 1:
             raise ValueError(
-                "multi-host pipes currently support a single line/executor "
-                "(the cross-host health rounds must be collectively aligned)"
+                "a multi-host pipe needs all its lines in ONE executor so "
+                "every process issues cross-host collectives in the same "
+                "order: build the lines with a shared mutable context "
+                "(pipe_tpu.mutable.mutable()) so they form a single sync "
+                "group — the reference's sync-mode idiom (pipe.go:89-103)"
             )
         self._merger: Optional[_Merger] = None
         self._cancel = threading.Event()
@@ -392,11 +395,23 @@ class Pipe:
 
     # -- live surgery (reference pipe.go:259-365) ---------------------------
 
-    def add_line(self, line: Line) -> _Handle:
+    def add_line(self, line: Line, at_block: Optional[int] = None) -> _Handle:
         """Grow the graph while running (``pipe.go:259-295``). Returns a
-        handle completed once the line is live."""
+        handle completed once the line is live.
+
+        ``at_block`` pins the adoption to an exact stream block index of the
+        owning sync group (only meaningful for a line joining a running
+        group). On a multi-process mesh it is REQUIRED, and the line must
+        join the existing group: every host calls the same surgery with the
+        same target, so the recompiled step starts issuing its collectives
+        at the same chunk on every process."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
+        if self._multiprocess and at_block is None:
+            raise ValueError(
+                "multi-host surgery needs at_block= so every process adopts "
+                "at the same chunk (collective alignment)"
+            )
         handle = _Handle()
 
         def mutation():
@@ -408,6 +423,14 @@ class Pipe:
                 return
 
             if not route.context.is_mutable():
+                if self._multiprocess:
+                    handle._fail(ValueError(
+                        "a multi-host add_line must join the existing sync "
+                        "group (share its mutable context): a new async "
+                        "executor would interleave cross-host collectives "
+                        "nondeterministically"
+                    ))
+                    return
                 le = self._register_route(route)
                 self._launch(le)
                 handle._set()
@@ -416,6 +439,7 @@ class Pipe:
             existing = self._groups.get(route.context)
             if existing is not None:
                 # adopt into the running group at its next block boundary
+                # (or exactly at ``at_block`` when targeted)
                 idx = len(self.routes)
                 self.routes.append(route)
                 le = LineExecutor(
@@ -429,9 +453,17 @@ class Pipe:
                     existing.adopt_line(le)
                     handle._set()
 
-                self.pusher.put(route.context.mutate(adopt))
+                self.pusher.put(route.context.mutate(adopt), at_block=at_block)
                 return
 
+            if self._multiprocess:
+                handle._fail(ValueError(
+                    "a multi-host add_line must join the existing sync "
+                    "group (share its mutable context): a second executor "
+                    "would interleave cross-host collectives "
+                    "nondeterministically"
+                ))
+                return
             le = self._register_route(route)
             self._launch(self._groups[route.context])
             handle._set()
@@ -439,13 +471,27 @@ class Pipe:
         self.push(self.mctx.mutate(mutation))
         return handle
 
-    def insert_processor(self, line: int, pos: int, proc_alloc) -> _Handle:
+    def insert_processor(
+        self, line: int, pos: int, proc_alloc,
+        at_block: Optional[int] = None,
+    ) -> _Handle:
         """Splice a processor into a running line at ``pos``
         (``pipe.go:297-365``). Allocation happens in the control thread; the
         owning executor adopts it at its next block boundary (recompiling the
-        fused step), so no sample is lost or duplicated."""
+        fused step), so no sample is lost or duplicated.
+
+        ``at_block`` pins the adoption to an exact stream block index (the
+        ``push(..., at_block=)`` coordinate): the new processor's first
+        processed sample is exactly ``at_block * block_size`` under any
+        lookahead/batch_blocks. REQUIRED on a multi-process mesh, where
+        every host must recompile at the same chunk."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
+        if self._multiprocess and at_block is None:
+            raise ValueError(
+                "multi-host surgery needs at_block= so every process adopts "
+                "at the same chunk (collective alignment)"
+            )
         handle = _Handle()
 
         def mutation():
@@ -474,7 +520,7 @@ class Pipe:
 
             if route.context.is_mutable():
                 # sync group: deliver to the group's destination
-                self.pusher.put(route.context.mutate(adopt))
+                self.pusher.put(route.context.mutate(adopt), at_block=at_block)
             else:
                 # async line: register the new context, deliver to the line
                 self.pusher.add_destination(ctx, le.dest)
@@ -483,7 +529,7 @@ class Pipe:
                     if pos < len(route.processors)
                     else route.sink.context
                 )
-                self.pusher.put(anchor.mutate(adopt))
+                self.pusher.put(anchor.mutate(adopt), at_block=at_block)
 
         self.push(self.mctx.mutate(mutation))
         return handle

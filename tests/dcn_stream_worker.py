@@ -5,7 +5,7 @@ block-indexed mutation landing on the same sample on every host, and
 first-error-wins abort across the process group.
 
 Usage: python dcn_stream_worker.py <mode> <process_id> <num_processes> <coordinator>
-modes: stream | abort
+modes: stream | abort | multiline
 """
 
 import os
@@ -93,6 +93,62 @@ def main():
         snr = snr_db(oracle, out)
         assert snr > 100, f"host {pid}: SNR {snr:.1f} dB"
         print(f"stream proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
+    if mode == "multiline":
+        # Two lines in ONE sync group (shared mutable context): the single
+        # executor thread issues each line's cross-host collectives in the
+        # same order on every process. Mid-stream, both hosts splice a gain
+        # into line 0 with at_block-targeted adoption, so the recompiled
+        # step starts at the same chunk everywhere.
+        from pipe_tpu import mutable as mut
+
+        N2 = 400
+
+        def make_line(seed, taps, mctx):
+            r2 = np.random.default_rng(seed)
+            d = r2.standard_normal((C, CHUNK * N2)).astype(np.float32)
+            q = [0]
+
+            def feed2(n):
+                if q[0] >= d.shape[1]:
+                    return None
+                c = d[:, q[0] : q[0] + n]
+                q[0] += n
+                return c
+
+            def alloc(ctx, block):
+                return Source(output=SignalProperties(44100.0, C), feed=feed2)
+
+            f = parallel.sharded.FIR(taps)
+            s = mock.Sink()
+            return d, s, pipe_tpu.Line(
+                source=alloc, processors=[f.processor()], sink=s.sink(),
+                context=mctx,
+            )
+
+        mctx = mut.mutable()
+        data_a, sink_a, line_a = make_line(7, h1, mctx)
+        data_b, sink_b, line_b = make_line(8, h2, mctx)
+        p2 = pipe_tpu.Pipe(
+            CHUNK, line_a, line_b, mesh=mesh, host_sync_every=16
+        )
+        p2.start()
+        SPLICE = 150
+        g = parallel.sharded.Gain(0.5)
+        h = p2.insert_processor(0, 1, g.processor(), at_block=SPLICE)
+        assert h.wait(300) and h.error is None, h.error
+        p2.wait(600.0)
+
+        o1 = scipy.signal.lfilter(h1, [1.0], data_a.astype(np.float64), axis=1)
+        o1[:, SPLICE * CHUNK :] *= np.float64(np.float32(0.5))
+        o2 = scipy.signal.lfilter(h2, [1.0], data_b.astype(np.float64), axis=1)
+        s1 = snr_db(o1, sink_a.values)
+        s2 = snr_db(o2, sink_b.values)
+        assert sink_a.values.shape == data_a.shape
+        assert sink_b.values.shape == data_b.shape
+        assert s1 > 100 and s2 > 100, (s1, s2)
+        print(f"multiline proc {pid} OK {s1:.1f}/{s2:.1f} dB", flush=True)
         return
 
     if mode == "abort":

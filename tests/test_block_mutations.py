@@ -182,3 +182,33 @@ def test_destination_block_indexed_delivery():
     assert log == ["now", "b3", "b5", "b9"]
     assert dest.next_target(0) is None
     assert dest.take_due(100) is None
+
+
+@pytest.mark.parametrize("lookahead,batch_blocks", [(1, 1), (8, 32)])
+def test_insert_processor_at_block_exact(lookahead, batch_blocks):
+    """Targeted surgery: insert_processor(at_block=N) takes effect at
+    sample N*block_size exactly — the deterministic-adoption contract that
+    multi-host surgery builds on."""
+    src = mock.Source(channels=1, value=1.0, interval=0.01)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=src.source(), processors=[], sink=sink.sink()),
+        lookahead=lookahead,
+        batch_blocks=batch_blocks,
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    target = p.block_index(0) + 3 * max(batch_blocks, 4) + 1
+    h = p.insert_processor(
+        0, 0, ops.Gain(2.0).processor(), at_block=target
+    )
+    assert h.wait(60) and h.error is None
+    _wait_samples(sink, (target + 2 * batch_blocks + 2) * BLOCK)
+    p.stop(60)
+
+    v = sink.values[0]
+    sw = np.where(np.diff(v) != 0)[0]
+    assert len(sw) == 1, f"expected one switch, got {len(sw)}"
+    assert sw[0] + 1 == target * BLOCK
+    assert v[-1] == 2.0

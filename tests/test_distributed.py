@@ -92,3 +92,14 @@ def test_two_host_first_error_wins_abort():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"abort proc {pid} OK" in out
+
+
+def test_two_host_multiline_pipe_with_targeted_surgery():
+    """Two lines in ONE sync group streaming over a 2-process mesh, plus
+    insert_processor(at_block=) called identically on both hosts: the
+    recompiled step starts at the same chunk everywhere (collective
+    alignment), and both sinks match their float64 oracles."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["multiline"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"multiline proc {pid} OK" in out
