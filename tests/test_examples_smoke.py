@@ -21,6 +21,7 @@ EXAMPLES = os.path.join(
         ("mastering_chain.py", "peak after limiter"),
         ("sharded_flagship.py", "retuned threshold"),
         ("fm_receiver.py", "message correlation"),
+        ("multihost_stream.py", "host 1: 200 chunks"),
     ],
 )
 def test_example_runs(script, expect, tmp_path):
@@ -28,6 +29,15 @@ def test_example_runs(script, expect, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     if script == "sharded_flagship.py":
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    if script == "multihost_stream.py":
+        # self-launching 2-process demo: no --cpu flag, forces CPU itself
+        out = subprocess.run(
+            [sys.executable, os.path.join(EXAMPLES, script)],
+            capture_output=True, text=True, timeout=280, env=env,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert expect in out.stdout
+        return
     args = [sys.executable, os.path.join(EXAMPLES, script), "--cpu"]
     if script == "reverb_file.py":
         args += [str(tmp_path / "in.wav"), str(tmp_path / "out.wav")]
