@@ -744,3 +744,31 @@ def test_am_envelope_chain_channel_and_time_sharded(rng):
     out = chain.process(x)
     assert out.shape == s_sink.values.shape
     np.testing.assert_allclose(out, s_sink.values, atol=2e-5)
+
+
+def test_mesh_shape_invariance(rng):
+    """The defining law extended to sharding: one chain, one stream, four
+    mesh shapes — output is independent of how the mesh factors (the
+    sharded analog of tests/test_invariance.py's blocking independence)."""
+    sos = ops.design_peaking_eq(44100, freq=800, q=2.0, gain_db=4.0)
+    h = np.asarray(ops.design_lowpass(63, 5000, 44100))
+    x = rng.standard_normal((8, 8192)).astype(np.float32)
+
+    def run(ch, t):
+        chain = parallel.ShardedChain(
+            parallel.make_mesh(ch, t),
+            [
+                parallel.FIRStage(h),
+                parallel.BiquadStage(sos),
+                parallel.CompressorStage(threshold_db=-12.0, ratio=3.0),
+            ],
+            channels=8,
+            chunk_frames=4096,
+        )
+        return chain.process(x)
+
+    ref = run(1, 1).astype(np.float64)
+    for ch, t in [(2, 1), (1, 4), (2, 4)]:
+        out = run(ch, t)
+        s = snr_db(ref, out)
+        assert s > 100, f"mesh {ch}x{t}: {s:.1f} dB"
