@@ -57,6 +57,19 @@ def _iter_components(pipe):
             yield r, c, comp
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Device leaf -> host numpy. On a multi-process mesh a sharded leaf is
+    not fully addressable from one host; gather the global value instead
+    (collective: every process must snapshot together — they each hold the
+    pipe anyway, and each then writes a complete, self-contained
+    checkpoint)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def snapshot(pipe) -> Checkpoint:
     """Capture every component's device state and params as host numpy.
 
@@ -71,7 +84,7 @@ def snapshot(pipe) -> Checkpoint:
         for kind, tree in (("state", comp.state), ("params", comp.params)):
             flat, _ = jax.tree.flatten(tree)
             for i, leaf in enumerate(flat):
-                leaves[f"r{r}/c{c}/{kind}/{i}"] = np.asarray(leaf)
+                leaves[f"r{r}/c{c}/{kind}/{i}"] = _to_host(leaf)
     return Checkpoint(leaves=leaves, block_size=pipe.block_size)
 
 

@@ -5,7 +5,7 @@ block-indexed mutation landing on the same sample on every host, and
 first-error-wins abort across the process group.
 
 Usage: python dcn_stream_worker.py <mode> <process_id> <num_processes> <coordinator>
-modes: stream | abort | multiline
+modes: stream | abort | multiline | ckpt
 """
 
 import os
@@ -149,6 +149,70 @@ def main():
         assert sink_b.values.shape == data_b.shape
         assert s1 > 100 and s2 > 100, (s1, s2)
         print(f"multiline proc {pid} OK {s1:.1f}/{s2:.1f} dB", flush=True)
+        return
+
+    if mode == "ckpt":
+        # checkpoint/resume across hosts: every process snapshots the
+        # sharded state (collective gather of non-addressable leaves),
+        # restores into a fresh mesh pipe, and the resumed stream equals
+        # the uninterrupted float64 oracle.
+        from pipe_tpu import checkpoint, ops as _ops
+
+        N_CK = 120
+        sos = _ops.design_peaking_eq(44100, freq=600, q=1.5, gain_db=3.0)
+        rng3 = np.random.default_rng(9)
+        d = rng3.standard_normal((C, CHUNK * N_CK)).astype(np.float32)
+
+        def make(part):
+            q = [0]
+
+            def feedc(n):
+                if q[0] >= part.shape[1]:
+                    return None
+                c = part[:, q[0] : q[0] + n]
+                q[0] += n
+                return c
+
+            def alloc(ctx, block):
+                return Source(
+                    output=SignalProperties(44100.0, C), feed=feedc
+                )
+
+            f = parallel.sharded.FIR(h1)
+            b = parallel.sharded.Biquad(sos)
+            s = mock.Sink()
+            return s, pipe_tpu.Pipe(
+                CHUNK,
+                pipe_tpu.Line(
+                    source=alloc,
+                    processors=[f.processor(), b.processor()],
+                    sink=s.sink(),
+                ),
+                mesh=mesh,
+                host_sync_every=16,
+            )
+
+        half = CHUNK * (N_CK // 2)
+        sink_a, pa = make(d[:, :half])
+        pa.start()
+        pa.wait(600.0)
+        ck = checkpoint.snapshot(pa)  # collective across processes
+
+        sink_b, pb = make(d[:, half:])
+        checkpoint.restore(pb, ck)
+        pb.start()
+        pb.wait(600.0)
+
+        out = np.concatenate([sink_a.values, sink_b.values], axis=1)
+        x64 = d.astype(np.float64)
+        oracle = scipy.signal.sosfilt(
+            sos[None, :], scipy.signal.lfilter(h1, [1.0], x64, axis=1),
+            axis=1,
+        )
+        snr = snr_db(oracle, out)
+        assert out.shape == d.shape, out.shape
+        assert snr > 100, f"host {pid}: {snr:.1f} dB"
+        print(f"ckpt proc {pid} OK {snr:.1f} dB", flush=True)
         return
 
     if mode == "abort":

@@ -103,3 +103,13 @@ def test_two_host_multiline_pipe_with_targeted_surgery():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"multiline proc {pid} OK" in out
+
+
+def test_two_host_checkpoint_resume():
+    """Checkpoint/resume across a 2-process mesh: snapshot gathers the
+    sharded state collectively, restore into a fresh mesh pipe, resumed
+    output equals the uninterrupted float64 oracle on both hosts."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["ckpt"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"ckpt proc {pid} OK" in out
