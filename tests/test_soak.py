@@ -86,17 +86,18 @@ def _step_gains(schedule, n_samples, block):
     return g
 
 
-@pytest.mark.parametrize(
-    "lookahead,batch_blocks", [(1, 1), (8, 1), (1, 32), (8, 32)]
-)
-def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
-    """VERDICT r1 item 8: seeded-random targeted mutations on two live
-    params, neutral mid-stream surgery (insert + add_line), an EOF partial
-    tail, and a full restart — under every perf-knob combination — checked
-    against an exact float64 oracle."""
-    seed = 1000 + lookahead * 100 + batch_blocks
+def _randomized_soak(lookahead, batch_blocks, mesh=None):
+    """Seeded-random targeted mutations on two live params, neutral
+    mid-stream surgery (insert + add_line), an EOF partial tail, and a
+    full restart — checked against an exact float64 oracle. With ``mesh``
+    the same scenario runs the sharded executor."""
+    from pipe_tpu import parallel
+
+    seed = 1000 + lookahead * 100 + batch_blocks + (7 if mesh else 0)
     r = np.random.default_rng(seed)
     BLOCK, n_blocks, tail, C = 256, 1024, 73, 2
+    if mesh is not None:
+        tail = 0  # sharded chunks mask partials per-device; keep it simple
     total = BLOCK * n_blocks + tail
     data = r.standard_normal((C, total)).astype(np.float32)
 
@@ -114,7 +115,8 @@ def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
     def alloc(ctx, block):
         return Source(output=SignalProperties(44100.0, C), feed=feed)
 
-    g1, g2 = ops.Gain(1.0), ops.Gain(1.0)
+    mk_gain = (lambda v: parallel.sharded.Gain(v)) if mesh else ops.Gain
+    g1, g2 = mk_gain(1.0), mk_gain(1.0)
     sink = mock.Sink()
     p = pipe_tpu.Pipe(
         BLOCK,
@@ -125,6 +127,7 @@ def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
         ),
         lookahead=lookahead,
         batch_blocks=batch_blocks,
+        mesh=mesh,
     )
     p.start()
 
@@ -145,14 +148,26 @@ def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
     deadline = time.time() + 120
     while sink.samples < 32 * BLOCK and time.time() < deadline:
         time.sleep(0.005)
-    g3 = ops.Gain(1.0)
+    g3 = mk_gain(1.0)
     h1 = p.insert_processor(0, int(r.integers(0, 3)), g3.processor())
     assert h1.wait(60) and h1.error is None
+    side_n = [0]
+    side_C = C if mesh is not None else 1  # mesh: channel-axis divisibility
+
+    def side_feed(n):
+        if side_n[0] >= 10 * BLOCK:
+            return None
+        side_n[0] += n
+        return np.full((side_C, n), 0.5, np.float32)
+
+    def side_alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, side_C), feed=side_feed)
+
     side_src = mock.Source(channels=1, value=0.5, limit=10 * BLOCK)
     side_sink = mock.Sink()
     h2 = p.add_line(
         pipe_tpu.Line(
-            source=side_src.source(),
+            source=side_alloc if mesh is not None else side_src.source(),
             processors=pipe_tpu.Processors(),
             sink=side_sink.sink(),
         )
@@ -173,7 +188,7 @@ def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
     )
     snr = snr_db(oracle, out)
     assert snr > 100, f"first run: {snr:.1f} dB"
-    assert side_sink.values.shape == (1, 10 * BLOCK)
+    assert side_sink.values.shape == (side_C, 10 * BLOCK)
     assert np.allclose(side_sink.values, 0.5)
 
     # restart: initializers reset the params; the feed rewinds. The second
@@ -196,6 +211,24 @@ def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
     )
     snr2 = snr_db(oracle2, out2)
     assert snr2 > 100, f"restart run: {snr2:.1f} dB"
+
+
+@pytest.mark.parametrize(
+    "lookahead,batch_blocks", [(1, 1), (8, 1), (1, 32), (8, 32)]
+)
+def test_soak_randomized_mutations_surgery_eof_restart(lookahead, batch_blocks):
+    """VERDICT r1 item 8: the randomized scenario under every perf-knob
+    combination (see :func:`_randomized_soak`)."""
+    _randomized_soak(lookahead, batch_blocks)
+
+
+@pytest.mark.parametrize("lookahead,batch_blocks", [(1, 1), (8, 4)])
+def test_soak_randomized_on_mesh(lookahead, batch_blocks):
+    """The SAME randomized scenario (mutations + surgery + add_line +
+    restart) on a 2x4 mesh — the unified-path stress."""
+    from pipe_tpu import parallel
+
+    _randomized_soak(lookahead, batch_blocks, mesh=parallel.make_mesh(2, 4))
 
 
 @pytest.mark.parametrize("batch_blocks", [1, 32])
