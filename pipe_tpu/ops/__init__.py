@@ -20,7 +20,18 @@ from pipe_tpu.ops.mix import ChannelMix, channel_mix_block
 from pipe_tpu.ops.fir import FIR, fir_block, fir_init_tail, design_lowpass
 from pipe_tpu.ops.resample import Resampler, polyphase_design
 from pipe_tpu.ops.ols import OLSConvolve, ols_init_state, ols_block
-from pipe_tpu.ops.biquad import Biquad, biquad_block, design_peaking_eq
+from pipe_tpu.ops.biquad import (
+    Biquad,
+    biquad_block,
+    design_peaking_eq,
+    design_lowpass_biquad,
+    design_highpass_biquad,
+    design_bandpass,
+    design_notch,
+    design_allpass,
+    design_lowshelf,
+    design_highshelf,
+)
 from pipe_tpu.ops.demod import (
     Oscillator,
     IQMix,
@@ -69,6 +80,13 @@ __all__ = [
     "Biquad",
     "biquad_block",
     "design_peaking_eq",
+    "design_lowpass_biquad",
+    "design_highpass_biquad",
+    "design_bandpass",
+    "design_notch",
+    "design_allpass",
+    "design_lowshelf",
+    "design_highshelf",
     "Oscillator",
     "IQMix",
     "EnvelopeDetector",

@@ -310,17 +310,110 @@ class Biquad:
         return self.context.mutate(fn)
 
 
+def _rbj_row(b0, b1, b2, a0, a1, a2) -> np.ndarray:
+    return np.array([b0 / a0, b1 / a0, b2 / a0, 1.0, a1 / a0, a2 / a0])
+
+
+def _rbj_wa(sample_rate: float, freq: float, q: float):
+    w0 = 2.0 * np.pi * freq / sample_rate
+    return w0, np.sin(w0) / (2.0 * q)
+
+
 def design_peaking_eq(
     sample_rate: float, freq: float, q: float, gain_db: float
 ) -> np.ndarray:
     """RBJ cookbook peaking EQ, one SOS row, float64 host-side."""
     A = 10.0 ** (gain_db / 40.0)
+    w0, alpha = _rbj_wa(sample_rate, freq, q)
+    return _rbj_row(
+        1 + alpha * A, -2 * np.cos(w0), 1 - alpha * A,
+        1 + alpha / A, -2 * np.cos(w0), 1 - alpha / A,
+    )
+
+
+def design_lowpass_biquad(
+    sample_rate: float, freq: float, q: float = 0.7071
+) -> np.ndarray:
+    """RBJ 2nd-order lowpass, one SOS row."""
+    w0, alpha = _rbj_wa(sample_rate, freq, q)
+    c = np.cos(w0)
+    return _rbj_row(
+        (1 - c) / 2, 1 - c, (1 - c) / 2, 1 + alpha, -2 * c, 1 - alpha
+    )
+
+
+def design_highpass_biquad(
+    sample_rate: float, freq: float, q: float = 0.7071
+) -> np.ndarray:
+    """RBJ 2nd-order highpass, one SOS row."""
+    w0, alpha = _rbj_wa(sample_rate, freq, q)
+    c = np.cos(w0)
+    return _rbj_row(
+        (1 + c) / 2, -(1 + c), (1 + c) / 2, 1 + alpha, -2 * c, 1 - alpha
+    )
+
+
+def design_bandpass(
+    sample_rate: float, freq: float, q: float
+) -> np.ndarray:
+    """RBJ constant-0dB-peak bandpass, one SOS row."""
+    w0, alpha = _rbj_wa(sample_rate, freq, q)
+    return _rbj_row(
+        alpha, 0.0, -alpha, 1 + alpha, -2 * np.cos(w0), 1 - alpha
+    )
+
+
+def design_notch(sample_rate: float, freq: float, q: float) -> np.ndarray:
+    """RBJ notch, one SOS row."""
+    w0, alpha = _rbj_wa(sample_rate, freq, q)
+    c = np.cos(w0)
+    return _rbj_row(1.0, -2 * c, 1.0, 1 + alpha, -2 * c, 1 - alpha)
+
+
+def design_allpass(sample_rate: float, freq: float, q: float) -> np.ndarray:
+    """RBJ allpass (unit magnitude, phase rotation), one SOS row."""
+    w0, alpha = _rbj_wa(sample_rate, freq, q)
+    c = np.cos(w0)
+    return _rbj_row(
+        1 - alpha, -2 * c, 1 + alpha, 1 + alpha, -2 * c, 1 - alpha
+    )
+
+
+def _design_shelf(
+    sample_rate: float, freq: float, gain_db: float, slope: float, low: bool
+) -> np.ndarray:
+    A = 10.0 ** (gain_db / 40.0)
     w0 = 2.0 * np.pi * freq / sample_rate
-    alpha = np.sin(w0) / (2.0 * q)
-    b0 = 1 + alpha * A
-    b1 = -2 * np.cos(w0)
-    b2 = 1 - alpha * A
-    a0 = 1 + alpha / A
-    a1 = -2 * np.cos(w0)
-    a2 = 1 - alpha / A
-    return np.array([b0 / a0, b1 / a0, b2 / a0, 1.0, a1 / a0, a2 / a0])
+    c = np.cos(w0)
+    alpha = (
+        np.sin(w0) / 2.0
+        * np.sqrt((A + 1.0 / A) * (1.0 / slope - 1.0) + 2.0)
+    )
+    s2a = 2.0 * np.sqrt(A) * alpha
+    p, m = A + 1, A - 1
+    if low:
+        return _rbj_row(
+            A * ((p) - m * c + s2a), 2 * A * (m - p * c),
+            A * (p - m * c - s2a),
+            p + m * c + s2a, -2 * (m + p * c), p + m * c - s2a,
+        )
+    return _rbj_row(
+        A * (p + m * c + s2a), -2 * A * (m + p * c),
+        A * (p + m * c - s2a),
+        p - m * c + s2a, 2 * (m - p * c), p - m * c - s2a,
+    )
+
+
+def design_lowshelf(
+    sample_rate: float, freq: float, gain_db: float, slope: float = 1.0
+) -> np.ndarray:
+    """RBJ low shelf, one SOS row. ``slope=1`` is the steepest
+    monotonic shelf."""
+    return _design_shelf(sample_rate, freq, gain_db, slope, low=True)
+
+
+def design_highshelf(
+    sample_rate: float, freq: float, gain_db: float, slope: float = 1.0
+) -> np.ndarray:
+    """RBJ high shelf, one SOS row."""
+    return _design_shelf(sample_rate, freq, gain_db, slope, low=False)

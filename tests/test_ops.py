@@ -625,3 +625,49 @@ def test_channelizer_midstream_partial_blocks(rng):
     err = np.abs(ref[:, :, :M] - got[:, :, :M]).max()
     assert ref.shape[2] - got.shape[2] <= 1  # at most one trailing group held
     assert err < 1e-6, err
+
+
+def test_rbj_cookbook_designers(rng):
+    """Every RBJ designer's frequency response matches its defining
+    magnitude behavior (float64 freqz oracle), and the rows stream through
+    Biquad at >100 dB vs sosfilt."""
+    sr = 44100.0
+
+    def mag(sos, f):
+        w, h = scipy.signal.sosfreqz(sos[None, :], worN=[2 * np.pi * f / sr])
+        return float(np.abs(h[0]))
+
+    lp = ops.design_lowpass_biquad(sr, 1000.0)
+    assert mag(lp, 20.0) == pytest.approx(1.0, abs=1e-3)
+    assert mag(lp, 1000.0) == pytest.approx(0.7071, abs=2e-3)
+    assert mag(lp, 10000.0) < 0.02
+
+    hp = ops.design_highpass_biquad(sr, 1000.0)
+    assert mag(hp, 20000.0) == pytest.approx(1.0, abs=2e-2)
+    assert mag(hp, 100.0) < 0.02
+
+    bp = ops.design_bandpass(sr, 2000.0, q=4.0)
+    assert mag(bp, 2000.0) == pytest.approx(1.0, abs=1e-3)
+    assert mag(bp, 200.0) < 0.05 and mag(bp, 20000.0) < 0.05
+
+    nt = ops.design_notch(sr, 2000.0, q=4.0)
+    assert mag(nt, 2000.0) < 1e-6
+    assert mag(nt, 100.0) == pytest.approx(1.0, abs=1e-2)
+
+    ap = ops.design_allpass(sr, 2000.0, q=1.0)
+    for f in (100.0, 2000.0, 15000.0):
+        assert mag(ap, f) == pytest.approx(1.0, abs=1e-6)
+
+    ls = ops.design_lowshelf(sr, 500.0, gain_db=6.0)
+    assert 20 * np.log10(mag(ls, 20.0)) == pytest.approx(6.0, abs=0.1)
+    assert mag(ls, 20000.0) == pytest.approx(1.0, abs=1e-2)
+
+    hsh = ops.design_highshelf(sr, 5000.0, gain_db=-9.0)
+    assert 20 * np.log10(mag(hsh, 20000.0)) == pytest.approx(-9.0, abs=0.2)
+    assert mag(hsh, 50.0) == pytest.approx(1.0, abs=1e-2)
+
+    # a designed cascade streamed through Biquad vs the float64 oracle
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    out = stream_through([ops.Biquad(np.stack([ls, hsh, ap])).processor()], x, block=512)
+    oracle = scipy.signal.sosfilt(np.stack([ls, hsh, ap]), x.astype(np.float64), axis=1)
+    assert snr_db(oracle, out) > 100
