@@ -1,0 +1,160 @@
+"""Randomized cross-checks (seeded): sweeps of op parameters, channel
+counts, block sizes, and stream lengths against float64 oracles, plus
+blocking invariance on randomly composed chains. The fixed golden tests
+pin known configurations; this battery walks the parameter space the way
+users will (the reference relies on `--race` + a fixed matrix; breadth
+here is the blocked-engine analog)."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from pipe_tpu import ops
+from pipe_tpu.signal import snr_db
+
+from tests.test_ops import stream_through
+
+
+def test_fuzz_fir_random_taps_blocks(rng):
+    """Random tap counts (odd/even, incl. 1), shared and per-channel,
+    random blockings with partial tails, vs lfilter float64."""
+    for case in range(6):
+        T = int(rng.integers(1, 258))
+        C = int(rng.integers(1, 5))
+        N = int(rng.integers(900, 5000))
+        block = int(rng.integers(64, 1025))
+        per_channel = bool(rng.integers(0, 2))
+        shape = (C, T) if per_channel else (T,)
+        h = rng.standard_normal(shape) / max(T, 4)
+        x = rng.standard_normal((C, N)).astype(np.float32)
+        out = stream_through([ops.FIR(h).processor()], x, block=block)
+        x64 = x.astype(np.float64)
+        if per_channel:
+            oracle = np.stack(
+                [
+                    scipy.signal.lfilter(h[c], [1.0], x64[c])
+                    for c in range(C)
+                ]
+            )
+        else:
+            oracle = scipy.signal.lfilter(h, [1.0], x64, axis=1)
+        s = snr_db(oracle, out)
+        assert s > 100, f"case {case}: T={T} C={C} block={block}: {s:.1f}"
+
+
+def test_fuzz_biquad_random_stable_sections(rng):
+    """Random stable cascades (pole radius up to 0.98, random zeros),
+    random blockings, vs sosfilt float64 — the refinement pass must hold
+    100 dB across the space, not just at the golden configs."""
+    for case in range(6):
+        S = int(rng.integers(1, 4))
+        rows = []
+        for _ in range(S):
+            rp = rng.uniform(0.1, 0.98)
+            th = rng.uniform(0.05, np.pi - 0.05)
+            a1, a2 = -2 * rp * np.cos(th), rp * rp
+            rz = rng.uniform(0.0, 1.2)
+            tz = rng.uniform(0.0, np.pi)
+            b = np.array([1.0, -2 * rz * np.cos(tz), rz * rz])
+            b = b * rng.uniform(0.2, 1.5)
+            rows.append([b[0], b[1], b[2], 1.0, a1, a2])
+        sos = np.asarray(rows)
+        C = int(rng.integers(1, 4))
+        N = int(rng.integers(1500, 6000))
+        block = int(rng.integers(96, 769))
+        x = rng.standard_normal((C, N)).astype(np.float32)
+        out = stream_through([ops.Biquad(sos).processor()], x, block=block)
+        oracle = scipy.signal.sosfilt(sos, x.astype(np.float64), axis=1)
+        s = snr_db(oracle, out)
+        assert s > 100, f"case {case}: S={S} block={block}: {s:.1f}"
+
+
+def test_fuzz_delay_echo(rng):
+    """Random delay/feedback/mix vs the direct numpy recurrence."""
+    for case in range(5):
+        block = int(rng.integers(64, 513))
+        D = int(block * rng.integers(1, 4))  # echo needs D >= block
+        fb = float(rng.uniform(-0.6, 0.6))
+        wet = float(rng.uniform(0.2, 1.0))
+        dry = float(rng.uniform(0.0, 1.0))
+        C = int(rng.integers(1, 3))
+        N = int(rng.integers(2000, 6000))
+        x = rng.standard_normal((C, N)).astype(np.float32)
+        out = stream_through(
+            [ops.Delay(D, feedback=fb, wet=wet, dry=dry).processor()],
+            x, block=block,
+        )
+        x64 = x.astype(np.float64)
+        s = np.zeros((C, N + D))
+        for n in range(N):
+            s[:, n + D] = x64[:, n] + fb * s[:, n]
+        oracle = dry * x64 + wet * s[:, :N]
+        sn = snr_db(oracle, out)
+        assert sn > 100, f"case {case}: D={D} fb={fb:.2f}: {sn:.1f}"
+
+
+_POOL = [
+    lambda r: ops.FIR(r.standard_normal(int(r.integers(3, 130))) / 16),
+    # freq >= 1 kHz keeps the section's noise-gain floor comfortably
+    # above the 100 dB mutual bar (docs/PERF_NOTES.md: below that the
+    # 1/A(z) amplification of f32 rounding noise caps ANY realization —
+    # a sample-rate problem, not an implementation one)
+    lambda r: ops.Biquad(
+        ops.design_peaking_eq(
+            44100, float(r.uniform(1000, 8000)), float(r.uniform(0.5, 4.0)),
+            float(r.uniform(-9, 9)),
+        )
+    ),
+    lambda r: ops.Gain(float(r.uniform(0.2, 2.0))),
+    lambda r: ops.Compressor(
+        threshold_db=float(r.uniform(-30, -6)),
+        ratio=float(r.uniform(1.5, 8.0)),
+        attack_ms=float(r.uniform(0.5, 10.0)),
+        release_ms=float(r.uniform(20, 200)),
+    ),
+    lambda r: ops.NoiseGate(
+        threshold_db=float(r.uniform(-70, -30)),
+        range_db=float(r.uniform(20, 60)),
+    ),
+]
+
+
+def test_fuzz_random_chain_blocking_invariance(rng):
+    """Randomly composed chains are blocking-invariant: two random
+    blockings of the same stream agree to f32 noise."""
+    for case in range(5):
+        chain_ops = [
+            _POOL[int(rng.integers(0, len(_POOL)))](rng)
+            for _ in range(int(rng.integers(2, 5)))
+        ]
+        C = int(rng.integers(1, 3))
+        N = int(rng.integers(3000, 7000))
+        b1, b2 = (int(rng.integers(64, 1025)) for _ in range(2))
+        x = rng.standard_normal((C, N)).astype(np.float32)
+        outs = []
+        for b in (b1, b2):
+            procs = [op.processor() for op in chain_ops]
+            outs.append(stream_through(procs, x, block=b))
+        s = snr_db(outs[0].astype(np.float64), outs[1])
+        assert s > 100, f"case {case}: blocks {b1}/{b2}: {s:.1f}"
+
+
+def test_iir_noise_gain_floor_documented(rng):
+    """The precision model for near-DC poles (docs/PERF_NOTES.md): white
+    ~2^-24-relative rounding noise injected into the recurrence comes out
+    amplified by the L2 noise gain of 1/A(z), capping achievable SNR near
+    -20*log10(2^-24 * ||1/A||_2) regardless of realization. The refined
+    engine must sit within ~8 dB of that cap (the raw associative/tile
+    error is far worse)."""
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    for f, q in [(100, 0.5), (150, 2.0), (400, 2.0)]:
+        sos = ops.design_peaking_eq(44100, f, q, 6.0)
+        imp = np.zeros(200_000)
+        imp[0] = 1.0
+        hinv = scipy.signal.lfilter([1.0], [1.0, sos[4], sos[5]], imp)
+        noise_gain = float(np.sqrt(np.sum(hinv**2)))
+        floor_db = -20 * np.log10(noise_gain * 2.0**-24)
+        out = stream_through([ops.Biquad(sos).processor()], x, block=512)
+        oracle = scipy.signal.sosfilt(sos[None], x.astype(np.float64), axis=1)
+        s = snr_db(oracle, out)
+        assert s > floor_db - 8, f"f={f}: {s:.1f} vs floor {floor_db:.1f}"
