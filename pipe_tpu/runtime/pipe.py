@@ -368,6 +368,24 @@ class Pipe:
         the device (possibly still in flight under ``lookahead``)."""
         return self._exec_of_route[line].blocks_dispatched
 
+    def __enter__(self) -> "Pipe":
+        """Context-manager sugar: ``with Pipe(...).start() as p:`` (or let
+        the block call ``start``); exiting stops a still-running pipe at a
+        block boundary and re-raises nothing of its own — a component
+        error surfaces from ``stop``/``wait`` as usual."""
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is not None:
+            # abort path: cancel and best-effort drain without masking exc
+            try:
+                self._cancel.set()
+                self.wait(30.0)
+            except Exception:  # noqa: BLE001
+                pass
+            return
+        self.stop()
+
     def stop(self, timeout: Optional[float] = None) -> None:
         """Cooperatively cancel a running pipe — the analog of cancelling
         the context passed to ``Start`` (``pipe.go:198-199, 230-239``):

@@ -449,3 +449,31 @@ def test_mesh_pipe_checkpoint_roundtrip(rng):
     resumed = np.concatenate([sink_a.values, sink_b.values], axis=1)
     assert resumed.shape == sink_full.values.shape
     np.testing.assert_allclose(resumed, sink_full.values, atol=2e-5)
+
+
+def test_mesh_stats_recorder(rng):
+    """StatsRecorder counts blocks/frames for mesh-backed lines too."""
+    import pipe_tpu.profiling as profiling
+
+    C, BLOCK = 4, 2048
+    data = rng.standard_normal((C, BLOCK * 3)).astype(np.float32)
+    stats = profiling.StatsRecorder()
+    fir = parallel.sharded.FIR(np.asarray(ops.design_lowpass(63, 3000, 44100)))
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=parallel.make_mesh(2, 4),
+        stats=stats,
+    )
+    run_pipe(p)
+    ls = stats.lines["line0"]
+    # 3 data blocks + one EOF-probe dispatch; frames is dispatch-derived
+    # by design (profiling.py: no device sync per block)
+    assert ls.blocks == 4
+    assert ls.frames == ls.blocks * BLOCK
+    assert ls.wall_s > 0

@@ -1,6 +1,8 @@
 """Async Pipe integration tests — start/wait, restart with initializers,
 sync groups, mutation push, live surgery (``pipe_test.go:82-189,461-639``)."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -374,3 +376,37 @@ def test_failing_pipe_mutation_fails_wait(pipe_timeout):
     with pytest.raises(Exception, match="registered mutation failed"):
         p.wait(pipe_timeout)
     assert src.hooks.flushed and sink.hooks.flushed
+
+
+def test_pipe_context_manager(pipe_timeout):
+    """with-block sugar: a bounded stream completes inside the block via
+    wait(); an unbounded one is stopped cleanly at exit."""
+    src = mock.Source(channels=1, value=1.0, limit=1024)
+    sink = mock.Sink()
+    with pipe_tpu.Pipe(
+        256, pipe_tpu.Line(source=src.source(), sink=sink.sink())
+    ).start() as p:
+        p.wait(pipe_timeout)
+    assert sink.values.shape == (1, 1024)
+
+    src2 = mock.Source(channels=1, value=2.0, interval=0.002)  # unbounded
+    sink2 = mock.Sink()
+    with pipe_tpu.Pipe(
+        256, pipe_tpu.Line(source=src2.source(), sink=sink2.sink())
+    ).start():
+        deadline = time.time() + pipe_timeout
+        while sink2.samples < 256 and time.time() < deadline:
+            time.sleep(0.005)
+    assert sink2.flushed and sink2.samples >= 256
+
+
+def test_pipe_context_manager_error_propagates(pipe_timeout):
+    """A component failure inside the with-block still surfaces (exit does
+    not swallow it): wait() raises inside the block."""
+    src = mock.Source(channels=1, value=1.0, limit=4096, error_on_call=IOError("boom"))
+    sink = mock.Sink()
+    with pytest.raises(pipe_tpu.errors.RunError):
+        with pipe_tpu.Pipe(
+            256, pipe_tpu.Line(source=src.source(), sink=sink.sink())
+        ).start() as p:
+            p.wait(pipe_timeout)
