@@ -37,6 +37,30 @@ def fuse(line: Line) -> Line:
     ``('resample', r)`` when the FIR has shared (1-D) taps.
     """
     from pipe_tpu.ops.fused import FIRResampler
+    from pipe_tpu.parallel import sharded
+
+    def _fuse_pair(fir_obj, rs_obj):
+        if isinstance(fir_obj, sharded.FIR):
+            # sharded pair -> sharded fused stage (one halo, one matmul)
+            if fir_obj._taps.ndim != 1:
+                return None
+            fused = sharded.FIRResample(
+                fir_obj._taps, *rs_obj._args
+            )
+            fir_obj._delegate = fused
+            return fused
+        if fir_obj._init_taps.ndim != 1:
+            return None
+        fused = FIRResampler(
+            fir_obj._init_taps,
+            rs_obj.up,
+            rs_obj.down,
+            taps_per_phase=rs_obj.taps_per_phase,
+        )
+        # route future set_taps / set_bank pushes through the fused stage
+        fir_obj._delegate = fused
+        rs_obj._delegate = fused
+        return fused
 
     procs: List = list(line.processors)
     out: List = []
@@ -46,23 +70,16 @@ def fuse(line: Line) -> Line:
         b = procs[i + 1] if i + 1 < len(procs) else None
         ta = getattr(a, "fusion_tag", None)
         tb = getattr(b, "fusion_tag", None)
+        fused = None
         if (
             ta is not None
             and tb is not None
             and ta[0] == "fir"
             and tb[0] == "resample"
-            and ta[1]._init_taps.ndim == 1
+            and isinstance(ta[1], sharded.FIR) == isinstance(tb[1], sharded.Resample)
         ):
-            fir_obj, rs_obj = ta[1], tb[1]
-            fused = FIRResampler(
-                fir_obj._init_taps,
-                rs_obj.up,
-                rs_obj.down,
-                taps_per_phase=rs_obj.taps_per_phase,
-            )
-            # route future set_taps / set_bank pushes through the fused stage
-            fir_obj._delegate = fused
-            rs_obj._delegate = fused
+            fused = _fuse_pair(ta[1], tb[1])
+        if fused is not None:
             out.append(fused.processor())
             i += 2
         else:

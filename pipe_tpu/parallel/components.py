@@ -73,6 +73,9 @@ class ShardedOp:
 
     # -- allocator -----------------------------------------------------------
 
+    #: set by subclasses that participate in optimize.fuse
+    fusion_kind: Optional[str] = None
+
     def processor(self):
         def alloc(mctx: mutable.Context, block_size: int, props: SignalProperties):
             mesh = require_mesh()
@@ -100,6 +103,8 @@ class ShardedOp:
             self._component = comp
             return comp
 
+        if self.fusion_kind is not None:
+            alloc.fusion_tag = (self.fusion_kind, self)
         return alloc
 
     def _set_params(self, **vals) -> mutable.Mutation:
@@ -132,14 +137,19 @@ class FIR(ShardedOp):
     """FIR filter with a (T-1)-sample halo between time shards. ``taps`` is
     (T,) shared or (C, T) per-channel."""
 
+    fusion_kind = "fir"
+
     def __init__(self, taps):
         super().__init__()
         self._taps = np.asarray(taps)
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
 
     def _make_stage(self, props):
         return _chain.FIRStage(self._taps)
 
     def set_taps(self, taps) -> mutable.Mutation:
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_taps(taps)
         new = jnp.asarray(taps, jnp.float32)
         if new.shape != tuple(np.shape(self._taps)):
             raise ValueError(
@@ -153,6 +163,8 @@ class FIR(ShardedOp):
 class Resample(ShardedOp):
     """Polyphase L/M resampler; every time shard emits an equal static
     output count (``n_local * L % M == 0`` checked at build)."""
+
+    fusion_kind = "resample"
 
     def __init__(self, up: int, down: int, taps_per_phase: int = 32):
         super().__init__()
@@ -190,6 +202,19 @@ class FIRResample(ShardedOp):
 
     def _out_frames(self, frames, stage):
         return frames * stage.up // stage.down
+
+    def set_taps(self, taps) -> mutable.Mutation:
+        """Retune the FIR half of the fused bank (same shape)."""
+        new = jnp.asarray(taps, jnp.float32)
+        if new.shape != tuple(np.shape(self._taps)):
+            raise ValueError(
+                f"taps shape {new.shape} != allocated {np.shape(self._taps)}"
+            )
+        return self._set_params(taps=new)
+
+    def set_bank(self, hp) -> mutable.Mutation:
+        """Retune the resampler half of the fused bank (same shape)."""
+        return self._set_params(hp=jnp.asarray(hp, jnp.float32))
 
 
 class OLS(ShardedOp):

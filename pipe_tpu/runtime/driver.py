@@ -54,7 +54,7 @@ def run_executor(executor, cancel=None) -> None:
 
 
 def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
-        cancel=None, batch_blocks: int = 1) -> None:
+        cancel=None, batch_blocks: int = 1, mesh=None) -> None:
     """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
     every line is forced into one shared mutable context and round-robined by
     a single :class:`MultiLineExecutor` in the calling thread. ``stats`` is
@@ -64,7 +64,11 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
     the analog of the reference's ctx argument (``pipe.go:90``).
     ``batch_blocks=k`` compiles a k-block ``lax.scan`` per dispatch for
     device-source lines — one dispatch advances k blocks (amortizes per-call
-    overhead on remote devices; mutation granularity coarsens to k)."""
+    overhead on remote devices; mutation granularity coarsens to k).
+    ``mesh`` shard_maps every line's step over a device mesh, exactly as
+    ``Pipe(..., mesh=)`` — ``block_size`` is then the global chunk."""
+    from pipe_tpu.parallel.meshctx import mesh_scope
+
     mctx = mutable.mutable()
     mle = MultiLineExecutor(context=mctx)
     for i, line in enumerate(lines):
@@ -74,7 +78,8 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
             sink=line.sink,
             context=mctx,
         )
-        route = make_route(bound, block_size)  # raises AllocationError
+        with mesh_scope(mesh):
+            route = make_route(bound, block_size)  # raises AllocationError
         ls = None
         if stats is not None:
             ls = stats.line(
@@ -82,6 +87,6 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
             )
         mle.executors.append(
             LineExecutor(route, block_size, stats=ls, lookahead=lookahead,
-                         batch_blocks=batch_blocks)
+                         batch_blocks=batch_blocks, mesh=mesh)
         )
     run_executor(mle, cancel=cancel)

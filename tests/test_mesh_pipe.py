@@ -477,3 +477,64 @@ def test_mesh_stats_recorder(rng):
     assert ls.blocks == 4
     assert ls.frames == ls.blocks * BLOCK
     assert ls.wall_s > 0
+
+
+def test_mesh_optimize_fuse_sharded_pair(rng):
+    """optimize.fuse collapses sharded FIR+Resample into the fused sharded
+    stage; output matches the unfused chain and set_taps on the original
+    FIR object routes through the fused component (delegate)."""
+    import pipe_tpu.optimize as optimize
+
+    C, BLOCK = 4, 147 * 16
+    data = rng.standard_normal((C, BLOCK * 2)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(63, 3000, 44100))
+
+    outs = {}
+    for do_fuse in (False, True):
+        fir = parallel.sharded.FIR(h)
+        rs = parallel.sharded.Resample(48000, 44100, taps_per_phase=16)
+        sink = mock.Sink()
+        line = pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor(), rs.processor()],
+            sink=sink.sink(),
+        )
+        if do_fuse:
+            line = optimize.fuse(line)
+            assert len(line.processors) == 1
+        p = pipe_tpu.Pipe(BLOCK, line, mesh=parallel.make_mesh(2, 4))
+        run_pipe(p)
+        outs[do_fuse] = sink.values
+        if do_fuse:
+            # delegate routing: set_taps on the ORIGINAL object targets the
+            # fused component's taps param
+            m = fir.set_taps(h * 0.5)
+            m.apply()
+            assert np.allclose(
+                np.asarray(fir._delegate._component.params["taps"]), h * 0.5
+            )
+
+    assert outs[True].shape == outs[False].shape
+    np.testing.assert_allclose(outs[True], outs[False], atol=3e-5)
+
+
+def test_run_driver_with_mesh(rng):
+    """The one-shot sync driver accepts a mesh, mirroring Pipe(mesh=)."""
+    C, BLOCK = 4, 2048
+    data = rng.standard_normal((C, BLOCK * 2)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(63, 3000, 44100))
+    fir = parallel.sharded.FIR(h)
+    sink = mock.Sink()
+    pipe_tpu.run(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=parallel.make_mesh(2, 4),
+    )
+    import scipy.signal
+
+    oracle = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
+    assert snr_db(oracle, sink.values) > 100
