@@ -141,6 +141,13 @@ class Pipe:
                 "(pipe_tpu.mutable.mutable()) so they form a single sync "
                 "group — the reference's sync-mode idiom (pipe.go:89-103)"
             )
+        if self._multiprocess and self.batch_blocks > 1:
+            raise ValueError(
+                "multi-host pipes need batch_blocks=1: a targeted mutation "
+                "splits a k-block dispatch at the boundary, and a split on "
+                "one host but not another would issue structurally "
+                "different executables into the same collective stream"
+            )
         self._merger: Optional[_Merger] = None
         self._cancel = threading.Event()
         self._mutations_q: "queue.Queue" = queue.Queue()
@@ -359,6 +366,21 @@ class Pipe:
         target already passed applies at the next block)."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
+        if (
+            self._multiprocess
+            and at_block is None
+            and any(m.context != self.mctx for m in mutations)
+        ):
+            # pipe-context (structure) mutations run in the control thread
+            # and carry their own at_block contract (surgery); component
+            # pushes must target a chunk so every host lands identically
+            raise ValueError(
+                "multi-host pushes need at_block= (every host must apply "
+                "the mutation at the same chunk; an untargeted push lands "
+                "at a host-local time and the replicated outputs would "
+                "silently diverge). Initializers passed to start() are "
+                "delivered before block 0 and stay exempt."
+            )
         self._mutations_q.put((list(mutations), at_block))
 
     def block_index(self, line: int = 0) -> int:

@@ -76,7 +76,26 @@ def main():
     )
 
     if mode == "stream":
+        # multi-host contracts: batch_blocks must stay 1 (split dispatches
+        # would desync the collective stream) and pushes must be targeted
+        try:
+            pipe_tpu.Pipe(
+                CHUNK,
+                pipe_tpu.Line(
+                    source=src_alloc, processors=[], sink=mock.Sink().sink()
+                ),
+                mesh=mesh,
+                batch_blocks=32,
+            )
+            raise AssertionError("expected batch_blocks guard")
+        except ValueError:
+            pass
         p.start()
+        try:
+            p.push(fir.set_taps(h2))  # untargeted: must be rejected
+            raise AssertionError("expected untargeted-push guard")
+        except ValueError:
+            pass
         # every host pushes the SAME mutation at the SAME stream block —
         # block-indexed delivery makes the landing deterministic across the
         # group (no cross-host control channel needed)
