@@ -194,17 +194,10 @@ class Destination:
                 self._targeted.append((int(at_block), Mutations().append(ms)))
 
     def take(self) -> Optional[Mutations]:
-        """Non-blocking poll: returns and clears EVERYTHING pending
-        (untargeted and targeted alike) — the shutdown/flush path."""
-        with self._lock:
-            ms, self._pending = self._pending, None
-            if self._targeted:
-                merged = ms if ms is not None else Mutations()
-                for _, t in sorted(self._targeted, key=lambda e: e[0]):
-                    merged.append(t)
-                self._targeted = []
-                return merged
-            return ms
+        """Returns and clears EVERYTHING pending (untargeted and targeted
+        alike) in target order — ``take_due`` at an infinite frontier. The
+        runtime delivers through ``take_due``; this is the drain-all seam."""
+        return self.take_due(float("inf"))
 
     def take_due(self, frontier: int) -> Optional[Mutations]:
         """Batches due at dispatch frontier ``frontier``: every untargeted

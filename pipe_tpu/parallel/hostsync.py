@@ -7,17 +7,28 @@ simply stops participating leaves its peers hung inside the next DCN/ICI
 collective. The protocol here keeps the reference's first-error-wins
 semantics with an aligned, out-of-band health exchange:
 
+- the round coordinate is the executor's DEVICE-DISPATCH count
+  (``blocks_dispatched``): a round is due whenever the frontier crosses a
+  multiple of ``every``. Counting dispatches (not executor-loop
+  iterations) means a failure before vs after a dispatch can never
+  miscount the padding — the coordinate tracks exactly the collectives
+  already issued;
 - every host's executor thread calls :meth:`HostSync.check` at the same
-  deterministic dispatch indices (every ``every`` dispatches);
-- a host that fails (or is stopped) makes ONE final ``check(flag=1)`` call
-  — joining the same collective round its peers are about to enter — and
-  exits;
-- peers see the nonzero flag and raise :class:`PeerAbortError`, which the
-  pipe's merger turns into the run's first error (without re-syncing,
-  since the flagging peer is gone).
+  round frontiers;
+- a host that leaves the stream for ANY reason — component failure,
+  ``stop()``, or EOF — first pads its device collectives with no-op
+  dispatches up to the next round frontier (peers' in-flight cross-host
+  chunks complete instead of hanging), then joins that round ONE last
+  time: flag=1 when aborting, flag=0 at EOF;
+- rounds are collective barriers, so a host still streaming cannot pass
+  the flagger's round without seeing the flag — it raises
+  :class:`PeerAbortError` there and exits without issuing further rounds
+  (the flagging peer is gone). Staggered stops therefore cannot deadlock:
+  a flag is always discovered at the flagger's own final round.
 
-EOF needs no special case: every host streams the same block sequence, so
-all of them stop issuing checks at the same round.
+EOF needs no special case beyond the final round: every host streams the
+same block sequence, so all of them reach EOF at the same frontier; the
+final round then completes symmetrically (all flags 0).
 """
 
 from __future__ import annotations
@@ -32,35 +43,34 @@ class PeerAbortError(RuntimeError):
 class HostSync:
     """Aligned health allgather over the process group (see module doc).
 
-    ``every`` is the dispatch period between checks; all hosts must use the
-    same value. Single-process groups never construct this.
+    ``every`` is the dispatch period between rounds; all hosts must use
+    the same value. Single-process groups never construct this.
     """
 
     def __init__(self, every: int = 16):
         self.every = max(1, int(every))
-        self._since = 0
+        self._next_round = self.every
 
-    def due(self) -> bool:
-        """Advance the dispatch counter; True when a check round is due."""
-        self._since += 1
-        if self._since >= self.every:
-            self._since = 0
-            return True
-        return False
+    def due(self, frontier: int) -> bool:
+        """True when the dispatch frontier has crossed the next round."""
+        return frontier >= self._next_round
 
-    def remaining_to_round(self) -> int:
-        """Dispatch calls left until the next aligned health round — the
-        number of dummy dispatches an aborting host must pad with so its
-        peers' cross-host chunks complete (see the module doc)."""
-        return self.every - self._since
+    def pad_target(self, frontier: int) -> int:
+        """The frontier of the next aligned round — the dispatch index an
+        exiting host must pad to with no-op dispatches so its peers'
+        cross-host chunks complete (see the module doc)."""
+        if frontier >= self._next_round:
+            return frontier  # exactly on (or past) a round boundary
+        return self._next_round
 
     def check(self, flag: int = 0) -> None:
-        """Join the group's health round contributing ``flag`` (0 = healthy,
-        1 = aborting). Raises :class:`PeerAbortError` when any OTHER host
-        flagged. Must be called collectively — by every process in the
-        group — the same number of times."""
+        """Join the group's health round contributing ``flag`` (0 =
+        healthy/EOF, 1 = aborting). Raises :class:`PeerAbortError` when any
+        OTHER host flagged. Must be called collectively — by every process
+        in the group — at the same round frontier."""
         from jax.experimental import multihost_utils
 
+        self._next_round += self.every
         flags = multihost_utils.process_allgather(
             np.asarray([flag], np.int32)
         )

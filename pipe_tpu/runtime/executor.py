@@ -97,6 +97,7 @@ class LineExecutor:
         # exact reference semantics.
         self.batch_blocks = max(1, batch_blocks)
         self._pending: list = []  # in-flight resolution entries, oldest first
+        self._fed_partial = False  # a short fed block ends the stream (mesh)
 
     # -- step construction ------------------------------------------------
 
@@ -438,7 +439,15 @@ class LineExecutor:
             # Resolve half the window in ONE host transfer: fetching each
             # block's flag individually would cost one device->host round
             # trip per block, which defeats the pipelining on remote TPUs.
-            return self._resolve_batch(max(1, self.lookahead // 2))
+            # A split dispatch (stop_before) can enqueue several SINGLE
+            # entries per execute, so also resolve whatever exceeds the
+            # window — the in-flight depth must stay bounded by lookahead.
+            n = max(
+                1,
+                self.lookahead // 2,
+                len(self._pending) - self.lookahead + 1,
+            )
+            return self._resolve_batch(n)
         return None
 
     def _prep_fed_host(self, data):
@@ -484,8 +493,21 @@ class LineExecutor:
             if data is None:
                 eof_hit = True
                 break
+            if self._fed_partial and self.mesh is not None:
+                # Sharded stages advance their carries by whole local
+                # chunks (the streaming ops slice at sig.frames; the
+                # sharded twins cannot — a shard's tail would live on
+                # another device). A partial block therefore must be the
+                # stream's LAST on a mesh; erroring beats silently
+                # corrupting every downstream carry.
+                raise ValueError(
+                    "mesh lines require full blocks mid-stream: the feed "
+                    "returned data after a partial block (pad underruns "
+                    "to block_size, or end the stream)"
+                )
             feds.append(self._prep_fed_host(data))
             if feds[-1][1] < self.block_size:
+                self._fed_partial = True
                 break  # partial block: the stream ends at the next feed
         if feds:
             if len(feds) == self.batch_blocks and self.batch_blocks > 1:
@@ -573,39 +595,30 @@ class LineExecutor:
                         sink.receive(data[:, :n])
         return None
 
-    def dispatch_noop(self):
-        """Abort-path dummy dispatch (multi-host protocol,
-        ``pipe_tpu.parallel.hostsync``): mirrors a regular execute call's
-        device collectives — same batch shape — so peer hosts' in-flight
-        chunks can complete instead of hanging in a half-issued collective.
-        Outputs are discarded (nothing reaches the sink)."""
+    def dispatch_noop_to(self, target: int):
+        """Exit-path padding (multi-host protocol,
+        ``pipe_tpu.parallel.hostsync``): issue single-block no-op
+        dispatches until the device-dispatch frontier reaches ``target``,
+        mirroring a regular dispatch's cross-host collectives so peers'
+        in-flight chunks complete instead of hanging. Component state is
+        FULLY preserved: the donated step runs on copies of the states and
+        every output is discarded — nothing reaches the sink, nothing is
+        written back (a subsequent checkpoint.snapshot sees the exact
+        pre-exit stream state, identical on every host)."""
         src = self.route.source
-        k = self.batch_blocks
-        if src.feed is not None:
-            C = src.output.channels
-            if k > 1:
+        step1 = self._get_step("single")
+        while self.blocks_dispatched < target:
+            states = jax.tree.map(jnp.copy, self._states())  # donation-safe
+            if src.feed is not None:
+                C = src.output.channels
                 fed = self._fed_to_device(
-                    np.zeros((k, C, self.block_size), np.float32),
-                    np.zeros((k,), np.int32),
-                    stacked=True,
+                    np.zeros((C, self.block_size), np.float32), 0,
+                    stacked=False,
                 )
-                states, _, _ = self._get_step("scan_fed")(
-                    self._states(), self._params(), fed
-                )
+                step1(states, self._params(), fed)
             else:
-                fed = self._fed_to_device(
-                    np.zeros((C, self.block_size), np.float32), 0, stacked=False
-                )
-                states, _, _ = self._get_step("single")(
-                    self._states(), self._params(), fed
-                )
-        else:
-            kind = "scan" if k > 1 else "single"
-            states, _, _ = self._get_step(kind)(
-                self._states(), self._params(), None
-            )
-        self._writeback(states)
-        self.blocks_dispatched += k
+                step1(states, self._params(), None)
+            self.blocks_dispatched += 1
 
     def drain(self):
         """Resolve every in-flight block (normal end-of-stream and flush
@@ -625,6 +638,7 @@ class LineExecutor:
         restart is a NEW stream: the dispatch frontier — the coordinate
         system of ``push(..., at_block=N)`` — rewinds to block 0."""
         self.blocks_dispatched = 0
+        self._fed_partial = False
         for comp in self.route.components():
             if comp.start is not None:
                 comp.start()  # raises -> caller handles rollback
@@ -751,9 +765,18 @@ class MultiLineExecutor:
         for le in self.executors:
             le.apply_mutations(ms)
 
-    def dispatch_noop(self) -> None:
-        for le in self.executors:
-            le.dispatch_noop()
+    def dispatch_noop_to(self, target: int) -> None:
+        # Each line pads to the SAME frontier (after a mid-sweep failure
+        # the lines may be unevenly dispatched, and peers' per-line
+        # collective counts must match ours line by line) — and in SWEEP
+        # ORDER, interleaving lines exactly like a normal round-robin
+        # pass, so the enqueue order of the per-line collectives matches
+        # the still-streaming peers' order (a whole-line-at-a-time pad
+        # could deadlock two device queues against each other).
+        while any(le.blocks_dispatched < target for le in self.executors):
+            for le in self.executors:
+                if le.blocks_dispatched < target:
+                    le.dispatch_noop_to(le.blocks_dispatched + 1)
 
     def adopt_line(self, le: LineExecutor) -> None:
         """Start and append a new line at a block boundary (the analog of

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Dict, List, Optional
 
 from pipe_tpu import mutable
@@ -61,15 +62,25 @@ class _Merger:
         self.threads.append(t)
         t.start()
 
-    def join(self) -> None:
-        # Threads may be appended while joining (live AddLine), so loop.
+    def join(self, timeout: Optional[float] = None) -> bool:
+        """Join all executor threads; returns True when everything exited.
+        Threads may be appended while joining (live AddLine), so loop. With
+        a ``timeout`` the join is bounded by a deadline across ALL threads
+        (False = something is still running)."""
+        deadline = None if timeout is None else time.monotonic() + timeout
         while True:
             with self._lock:
                 pending = [t for t in self.threads if t.is_alive()]
             if not pending:
-                return
+                return True
             for t in pending:
-                t.join()
+                if deadline is None:
+                    t.join()
+                else:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        return False
+                    t.join(left)
 
 
 class _Handle:
@@ -240,18 +251,22 @@ class Pipe:
 
         def flag_peers():
             # Tell peers to abort: first pad this host's device collectives
-            # with dummy dispatches up to the next aligned health round (a
-            # time-sharded chunk is a CROSS-HOST computation — peers would
-            # otherwise hang inside a half-issued collective), then join
-            # that round with flag=1. Best-effort: a dead coordinator must
-            # not mask the original error. Device-side compute failures
-            # (vs host-side feed/hook/sink errors) cannot be padded over;
-            # those rely on the distributed runtime's own failure detection.
+            # with state-preserving no-op dispatches up to the next aligned
+            # health round (a time-sharded chunk is a CROSS-HOST
+            # computation — peers would otherwise hang inside a half-issued
+            # collective), then join that round with flag=1. The pad target
+            # is computed from blocks_dispatched — the count of collectives
+            # actually issued — so a failure before vs after a dispatch
+            # can never miscount. Best-effort: a dead coordinator must not
+            # mask the original error. Device-side compute failures (vs
+            # host-side feed/hook/sink errors) cannot be padded over; those
+            # rely on the distributed runtime's own failure detection.
             if sync is None:
                 return
             try:
-                for _ in range(sync.remaining_to_round()):
-                    executor.dispatch_noop()
+                executor.dispatch_noop_to(
+                    sync.pad_target(executor.blocks_dispatched)
+                )
                 sync.check(flag=1)
             except Exception:  # noqa: BLE001
                 pass
@@ -285,7 +300,7 @@ class Pipe:
                 if executor.execute(stop_before) is EOF:
                     eof_exit = True
                     break
-                if sync is not None and sync.due():
+                if sync is not None and sync.due(executor.blocks_dispatched):
                     sync.check(flag=0)  # raises PeerAbortError on peer fail
         except PeerAbortError as e:
             # a clean stop() racing a peer's stop is not an error
@@ -301,7 +316,24 @@ class Pipe:
         if err_exec is not None:
             self._merger.report(err_exec)
             flag_peers()
-        elif not eof_exit:
+        elif eof_exit:
+            # One final aligned round so a peer that failed inside the last
+            # health window (after our stream already ended) still gets its
+            # padded collectives completed and its flag delivered; a peer's
+            # abort becomes this run's error (first-error-wins).
+            if sync is not None:
+                try:
+                    executor.dispatch_noop_to(
+                        sync.pad_target(executor.blocks_dispatched)
+                    )
+                    sync.check(flag=0)
+                except PeerAbortError as e:
+                    err = RunError(f"error running: {e}")
+                    err.__cause__ = e
+                    self._merger.report(err)
+                except Exception:  # noqa: BLE001
+                    pass
+        else:
             # cancelled (stop()): release peers from their next round
             flag_peers()
         try:
@@ -384,10 +416,17 @@ class Pipe:
         self._mutations_q.put((list(mutations), at_block))
 
     def block_index(self, line: int = 0) -> int:
-        """The line's dispatch frontier: the stream block index the NEXT
-        dispatched block will have — the coordinate system for
-        ``push(..., at_block=N)``. Blocks before this index are already on
-        the device (possibly still in flight under ``lookahead``)."""
+        """The dispatch frontier of the line's OWNING EXECUTOR — the
+        coordinate system for ``push(..., at_block=N)``. For a line in a
+        sync group this is the group frontier (targeted delivery compares
+        against the group's sweep, and a live-added line starts behind it);
+        for an async line it is the line's own counter. Blocks before this
+        index are already on the device (possibly still in flight under
+        ``lookahead``)."""
+        route = self.routes[line]
+        group = self._groups.get(route.context)
+        if group is not None:
+            return group.blocks_dispatched
         return self._exec_of_route[line].blocks_dispatched
 
     def __enter__(self) -> "Pipe":
@@ -423,10 +462,21 @@ class Pipe:
 
     def wait(self, timeout: Optional[float] = None) -> None:
         """Block until all executors finish; raise the first error
-        (``pipe.go:249-257``)."""
+        (``pipe.go:249-257``). ``timeout`` bounds the WHOLE wait (executor
+        threads included — a wedged collective cannot hang the caller
+        forever); on expiry a ``RunError`` is raised, or the first
+        component error if one was already reported."""
         if not self._running:
             return
-        self._merger.join()
+        done = self._merger.join(timeout)
+        if not done:
+            self._running = False
+            if self._merger.first_error is not None:
+                raise self._merger.first_error
+            raise RunError(
+                f"timeout after {timeout}s waiting for executors "
+                "(still running)"
+            )
         self._mutations_q.put(None)
         self._control.join(timeout)
         self._running = False

@@ -5,7 +5,7 @@ block-indexed mutation landing on the same sample on every host, and
 first-error-wins abort across the process group.
 
 Usage: python dcn_stream_worker.py <mode> <process_id> <num_processes> <coordinator>
-modes: stream | abort | multiline | ckpt
+modes: stream | abort | abort_late | multiline | ckpt
 """
 
 import os
@@ -234,9 +234,42 @@ def main():
         print(f"ckpt proc {pid} OK {snr:.1f} dB", flush=True)
         return
 
-    if mode == "abort":
-        # host 1 fails mid-stream; host 0 must abort via the health round
-        if pid == 1:
+    if mode in ("abort", "abort_late"):
+        # host 1 fails; host 0 must abort via the health round. "abort"
+        # fails mid-stream; "abort_late" fails INSIDE the last health
+        # window (after host 0's stream already ended) — host 0's EOF
+        # final round is what keeps host 1's padded collectives and flag
+        # from hanging with no counterpart.
+        if mode == "abort_late":
+            short = 100 * CHUNK
+            data_view = data[:, :short]
+
+            def feed_short(n, _d=data_view):
+                if fail_at[0] is not None and pos[0] >= fail_at[0] * CHUNK:
+                    raise IOError(f"injected failure on host {pid}")
+                if pos[0] >= _d.shape[1]:
+                    return None
+                c = _d[:, pos[0] : pos[0] + n]
+                pos[0] += n
+                return c
+
+            src_alloc2 = lambda ctx, block: Source(  # noqa: E731
+                output=SignalProperties(44100.0, C), feed=feed_short
+            )
+            fir2 = parallel.sharded.FIR(h1)
+            sink2 = mock.Sink()
+            p = pipe_tpu.Pipe(
+                CHUNK,
+                pipe_tpu.Line(
+                    source=src_alloc2, processors=[fir2.processor()],
+                    sink=sink2.sink(),
+                ),
+                mesh=mesh,
+                host_sync_every=16,
+            )
+            if pid == 1:
+                fail_at[0] = 98  # within the final 16-dispatch window
+        elif pid == 1:
             fail_at[0] = 40
         p.start()
         try:
@@ -244,12 +277,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             kind = type(e).__name__
             cause = type(e.__cause__).__name__ if e.__cause__ else ""
-            print(f"abort proc {pid} raised {kind}/{cause}: {e}", flush=True)
+            print(f"{mode} proc {pid} raised {kind}/{cause}: {e}", flush=True)
             if pid == 1:
                 assert "injected failure" in str(e), e
             else:
                 assert "peer" in str(e).lower(), e
-            print(f"abort proc {pid} OK", flush=True)
+            print(f"{mode} proc {pid} OK", flush=True)
             return
         raise AssertionError(f"proc {pid}: expected the run to fail")
 

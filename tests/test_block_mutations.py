@@ -212,3 +212,30 @@ def test_insert_processor_at_block_exact(lookahead, batch_blocks):
     assert len(sw) == 1, f"expected one switch, got {len(sw)}"
     assert sw[0] + 1 == target * BLOCK
     assert v[-1] == 2.0
+
+
+def test_pending_window_bounded_under_split_dispatches():
+    """Recurring targeted mutations split k-block dispatches into singles;
+    the in-flight queue must stay bounded by lookahead (it used to grow
+    without bound: each execute added budget entries, resolved one)."""
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, interval=0.001)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        64,
+        pipe_tpu.Line(
+            source=src.source(), processors=[gain.processor()], sink=sink.sink()
+        ),
+        lookahead=2,
+        batch_blocks=4,
+    )
+    p.start()
+    _wait_samples(sink, 64)
+    le = p._exec_of_route[0]
+    for i in range(30):  # a target every 2 blocks keeps every dispatch split
+        p.push(gain.set_gain(1.0), at_block=le.blocks_dispatched + 2)
+        time.sleep(0.004)
+        assert len(le._pending) <= le.lookahead + le.batch_blocks
+    _wait_samples(sink, sink.samples + 64 * 8)
+    assert len(le._pending) <= le.lookahead + le.batch_blocks
+    p.stop(60)

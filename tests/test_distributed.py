@@ -113,3 +113,14 @@ def test_two_host_checkpoint_resume():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"ckpt proc {pid} OK" in out
+
+
+def test_two_host_abort_in_final_window():
+    """A host failure INSIDE the last health window — after the peer's
+    stream already EOF'd — must still abort cleanly: the peer's EOF final
+    round completes the failing host's padded collectives and delivers its
+    flag (no counterpart -> hang, the bug this pins)."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["abort_late"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"abort_late proc {pid} OK" in out

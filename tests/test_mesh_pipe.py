@@ -538,3 +538,69 @@ def test_run_driver_with_mesh(rng):
 
     oracle = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
     assert snr_db(oracle, sink.values) > 100
+
+
+def test_mesh_dispatch_noop_preserves_state(rng):
+    """The multi-host exit-path padding must not corrupt stream state: the
+    no-op dispatches run on donated COPIES and discard outputs, so carries
+    (FIR tail, biquad s) are bit-identical before and after."""
+    C, BLOCK = 4, 2048
+    data = rng.standard_normal((C, BLOCK * 8)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(127, 3000, 44100))
+    sos = ops.design_peaking_eq(44100, 800, 2.0, 4.0)
+    fir = parallel.sharded.FIR(h)
+    bq = parallel.sharded.Biquad(sos)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data[:, : BLOCK * 2], C),
+            processors=[fir.processor(), bq.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=parallel.make_mesh(2, 4),
+    )
+    run_pipe(p)
+    le = p._exec_of_route[0]
+    import jax as _jax
+
+    before = _jax.device_get(le._states())
+    n0 = le.blocks_dispatched
+    le.dispatch_noop_to(n0 + 3)
+    assert le.blocks_dispatched == n0 + 3
+    after = _jax.device_get(le._states())
+    for a, b in zip(_jax.tree.leaves(before), _jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # sink received nothing extra
+    assert sink.values.shape == (C, BLOCK * 2)
+
+
+def test_mesh_partial_midstream_fed_block_rejected(rng):
+    """A short fed block that is NOT the stream's last raises a clear
+    error on mesh lines (sharded carries advance by whole local chunks;
+    silently zero-padding mid-stream would corrupt every tail)."""
+    C, BLOCK = 2, 1024
+    calls = [0]
+
+    def feed(n):
+        calls[0] += 1
+        if calls[0] == 2:
+            return np.ones((C, 300), np.float32)  # mid-stream underrun
+        if calls[0] > 4:
+            return None
+        return np.ones((C, n), np.float32)
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+    fir = parallel.sharded.FIR(np.asarray(ops.design_lowpass(63, 3000, 44100)))
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=alloc, processors=[fir.processor()], sink=mock.Sink().sink()
+        ),
+        mesh=parallel.make_mesh(1, 4),
+    )
+    p.start()
+    with pytest.raises(pipe_tpu.errors.RunError, match="full blocks"):
+        p.wait(60)

@@ -1,6 +1,7 @@
 """Async Pipe integration tests — start/wait, restart with initializers,
 sync groups, mutation push, live surgery (``pipe_test.go:82-189,461-639``)."""
 
+import threading
 import time
 
 import numpy as np
@@ -410,3 +411,29 @@ def test_pipe_context_manager_error_propagates(pipe_timeout):
             256, pipe_tpu.Line(source=src.source(), sink=sink.sink())
         ).start() as p:
             p.wait(pipe_timeout)
+
+
+def test_wait_timeout_bounds_stuck_executor():
+    """wait(timeout) must not hang on a wedged executor thread: a feed
+    stuck in a blocking call is bounded by the deadline and raises."""
+    release = threading.Event()
+
+    def feed(n):
+        release.wait(60)
+        return None
+
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, 1), feed=feed)
+
+    p = pipe_tpu.Pipe(
+        256, pipe_tpu.Line(source=alloc, sink=mock.Sink().sink())
+    )
+    p.start()
+    t0 = time.time()
+    with pytest.raises(pipe_tpu.errors.RunError, match="timeout"):
+        p.wait(1.0)
+    assert time.time() - t0 < 10
+    release.set()
