@@ -418,26 +418,101 @@ class BiquadStage(Stage):
     Toeplitz kernel (see :func:`_sharded_iir`), with one iterative-
     refinement pass on the pole recurrence (``ops.biquad._iir_refine``
     mechanics, here crossing the device boundary like the main pass) to
-    clear 100 dB on high-Q poles. ``refine=False`` skips the second pass."""
+    clear 100 dB on high-Q poles. ``refine=False`` skips the second pass.
 
-    def __init__(self, sos_row, refine: bool = True):
+    ``precision='extended'`` runs the double-f32 engine instead
+    (``ops.biquad`` dd layer): the local prefix scan, the cross-device
+    exclusive prefix of per-device affine totals, and the chunk carry all
+    ride as f32 hi/lo pairs — near-DC sections whose f32 noise-gain floor
+    sits below 100 dB (docs/PERF_NOTES.md 'kappa floor') stay >=100 dB on
+    the mesh exactly as on the streaming engine."""
+
+    def __init__(self, sos_row, refine: bool = True,
+                 precision: str | None = None):
+        from pipe_tpu.ops.biquad import split_f32_pair
+
         sos = np.asarray(sos_row, np.float64).reshape(-1)
         if sos.shape[0] != 6:
             raise ValueError("BiquadStage takes one SOS row")
-        self._sos = jnp.asarray(sos / sos[3], jnp.float32)
+        if precision not in (None, "extended"):
+            raise ValueError("precision must be None or 'extended'")
+        pair = split_f32_pair(sos / sos[3])
+        self._sos = jnp.asarray(pair[0])
+        self._sos_lo = jnp.asarray(pair[1])
         self._refine = bool(refine)
+        self._extended = precision == "extended"
 
     def build(self, c_global, c_local, n_local):
         self.carry = {
             "x_tail": jnp.zeros((c_global, 2), jnp.float32),
             "s": jnp.zeros((c_global, 2), jnp.float32),
         }
-        self.params = {"sos": self._sos}
         self.carry_spec = {"x_tail": P(CH_AXIS, None), "s": P(CH_AXIS, None)}
-        self.param_spec = {"sos": P()}
+        self.params = {"sos": self._sos, "sos_lo": self._sos_lo}
+        self.param_spec = {"sos": P(), "sos_lo": P()}
+        if self._extended:
+            self.carry["s_lo"] = jnp.zeros((c_global, 2), jnp.float32)
+            self.carry_spec["s_lo"] = P(CH_AXIS, None)
         self.out_c_global, self.out_c_local, self.out_n_local = c_global, c_local, n_local
 
     def apply(self, carry, params, x):
+        if self._extended:
+            return self._apply_extended(carry, params, x)
+        return self._apply_f32(carry, params, x)
+
+    def _apply_extended(self, carry, params, x):
+        """Double-f32 sharded recurrence: local dd prefix scan, dd affine
+        exclusive prefix across the time axis, dd chunk carry."""
+        from pipe_tpu.ops.biquad import (
+            _dd_add, _dd_affine_combine, _dd_apply_boundary, _dd_forcing,
+            _dd_identity_elem, _dd_mul, _iir_scan_dd, _opaque_one,
+        )
+
+        C, N = x.shape
+        coefs, coefs_lo = params["sos"], params["sos_lo"]
+        a1 = (coefs[4], coefs_lo[4])
+        a2 = (coefs[5], coefs_lo[5])
+        one = _opaque_one(coefs[0])
+        x_tail = halo_from_left(x, 2, TIME_AXIS, carry["x_tail"])
+        buf = jnp.concatenate([x_tail, x], axis=1)
+        v = _dd_forcing(buf, coefs, coefs_lo)
+        pref = _iir_scan_dd(v, a1, a2, one)
+        # per-device affine total = the prefix at the last local sample
+        totals = jax.tree.map(lambda t: t[:, -1], pref)
+        pre = exclusive_prefix(
+            TIME_AXIS,
+            lambda l, r: _dd_affine_combine(l, r, one),
+            _dd_identity_elem((C,)),
+            totals,
+        )
+        # entering state for this device: A_pre @ s_carry + u_pre, in dd
+        s_lo = carry.get("s_lo", jnp.zeros_like(carry["s"]))
+        sx = (carry["s"][:, 0], s_lo[:, 0])
+        sy = (carry["s"][:, 1], s_lo[:, 1])
+        pa, pb, pc, pd, pux, puy = pre
+        devx = _dd_add(
+            _dd_add(_dd_mul(pa, sx, one), _dd_mul(pb, sy, one)), pux
+        )
+        devy = _dd_add(
+            _dd_add(_dd_mul(pc, sx, one), _dd_mul(pd, sy, one)), puy
+        )
+        s_dev = (
+            jnp.stack([devx[0], devy[0]], axis=1),
+            jnp.stack([devx[1], devy[1]], axis=1),
+        )
+        yh, yl = _dd_apply_boundary(pref, s_dev, one)
+        new_s = last_shard(
+            jnp.stack([yh[:, -1], yh[:, -2]], axis=1), TIME_AXIS
+        )
+        new_s_lo = last_shard(
+            jnp.stack([yl[:, -1], yl[:, -2]], axis=1), TIME_AXIS
+        )
+        new_x_tail = last_shard(x[:, -2:], TIME_AXIS)
+        return {
+            "x_tail": new_x_tail, "s": new_s, "s_lo": new_s_lo
+        }, yh
+
+    def _apply_f32(self, carry, params, x):
         from pipe_tpu.ops.biquad import _iir_apply
 
         C, N = x.shape

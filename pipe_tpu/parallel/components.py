@@ -243,20 +243,27 @@ class OLS(ShardedOp):
 
 class Biquad(ShardedOp):
     """One IIR biquad section; the pole recursion crosses device boundaries
-    via the mesh-wide associative scan."""
+    via the mesh-wide associative scan. ``precision='extended'`` selects
+    the double-f32 engine (``chain.BiquadStage``)."""
 
-    def __init__(self, sos_row):
+    def __init__(self, sos_row, precision: str | None = None):
         super().__init__()
         self._sos = np.asarray(sos_row)
+        self._precision = precision
 
     def _make_stage(self, props):
-        return _chain.BiquadStage(self._sos)
+        return _chain.BiquadStage(self._sos, precision=self._precision)
 
     def set_sos(self, sos_row) -> mutable.Mutation:
+        from pipe_tpu.ops.biquad import split_f32_pair
+
         sos = np.asarray(sos_row, np.float64).reshape(-1)
         if sos.shape[0] != 6:
             raise ValueError("set_sos takes one SOS row")
-        return self._set_params(sos=jnp.asarray(sos / sos[3], jnp.float32))
+        pair = split_f32_pair(sos / sos[3])
+        return self._set_params(
+            sos=jnp.asarray(pair[0]), sos_lo=jnp.asarray(pair[1])
+        )
 
 
 class Compressor(ShardedOp):

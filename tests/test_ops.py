@@ -391,6 +391,57 @@ def test_biquad_refined_high_q_100db(rng):
     assert snr_db(ref, out) > 70
 
 
+def test_dd_transforms_exact_under_jit(rng):
+    """The extended-precision engine's error-free transforms must capture
+    rounding errors EXACTLY under jit. This is non-trivial: XLA:CPU's LLVM
+    backend contracts mul+add chains into fma, which silently changes the
+    rounding the transforms rely on (ops/biquad.py::_opaque_one documents
+    the counter-measure). A regression here degrades Biquad
+    precision='extended' from ~150 dB back to the f32 kappa floor."""
+    from pipe_tpu.ops.biquad import _opaque_one, _two_prod, _two_sum
+
+    a = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(4096).astype(np.float32))
+
+    def probe(a, b):
+        one = _opaque_one(a[0])
+        s, e = _two_sum(a, b)
+        p, f = _two_prod(a, b, one)
+        return s, e, p, f
+
+    s, e, p, f = jax.jit(probe)(a, b)
+    a64 = np.asarray(a, np.float64)
+    b64 = np.asarray(b, np.float64)
+    s64 = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    p64 = np.asarray(p, np.float64) + np.asarray(f, np.float64)
+    np.testing.assert_array_equal(s64, a64 + b64)
+    np.testing.assert_array_equal(p64, a64 * b64)
+
+
+def test_biquad_extended_precision_breaks_kappa_floor(rng):
+    """precision='extended' (double-f32 recurrence) must beat the f32
+    noise-gain cap documented in docs/PERF_NOTES.md: a 20 Hz q=0.5 section
+    at 44.1 kHz has kappa*2^-24 floor ~72 dB — the refined f32 engine
+    CANNOT reach 100 dB there by design, the extended engine must. The
+    cascade also carries a 1 kHz section so inter-section rounding is
+    exercised, and the stream crosses 31 block boundaries with a partial
+    final block."""
+    rows = np.stack([
+        ops.design_peaking_eq(44100, 20.0, 0.5, 6.0),
+        ops.design_peaking_eq(44100, 1000.0, 4.0, -4.0),
+    ])
+    x = rng.standard_normal((2, 16000)).astype(np.float32)
+    ref = scipy.signal.sosfilt(rows, x.astype(np.float64), axis=1)
+    out = stream_through(
+        [ops.Biquad(rows, precision="extended").processor()], x, block=512
+    )
+    snr = snr_db(ref, out)
+    assert snr > 100, f"{snr:.1f} dB"
+    # the standard engine on the same chain sits under its documented floor
+    out_std = stream_through([ops.Biquad(rows).processor()], x, block=512)
+    assert snr_db(ref, out_std) < 100
+
+
 # -- fused FIR + resampler -----------------------------------------------------
 
 

@@ -113,6 +113,31 @@ def test_biquad_time_sharded_high_q_100db(rng):
     assert snr_db(streamed.astype(np.float64), out) > 100
 
 
+def test_biquad_time_sharded_extended_precision(rng):
+    """precision='extended' on the mesh: a 60 Hz q=0.7 section (f32
+    kappa floor ~85 dB — the refined engine CANNOT clear 100 dB there)
+    must stay >=100 dB with the dd recurrence sharded over 4 time shards
+    and the dd carry crossing two chunk boundaries."""
+    sos = ops.design_peaking_eq(44100, freq=60.0, q=0.7, gain_db=6.0)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    mesh = parallel.make_mesh(1, 4)
+    chain = parallel.ShardedChain(
+        mesh,
+        [parallel.BiquadStage(sos, precision="extended")],
+        channels=2, chunk_frames=4096,
+    )
+    out = chain.process(x)
+    oracle = scipy.signal.sosfilt(sos[None, :], x.astype(np.float64), axis=1)
+    snr = snr_db(oracle, out)
+    assert snr > 100, f"{snr:.1f} dB"
+    # and the f32 stage is genuinely below the bar here (floor is real)
+    chain_std = parallel.ShardedChain(
+        parallel.make_mesh(1, 4), [parallel.BiquadStage(sos)],
+        channels=2, chunk_frames=4096,
+    )
+    assert snr_db(oracle, chain_std.process(x)) < 100
+
+
 def test_mix_psum_merged_sink(rng):
     """Config-5 shape: channel-sharded lines merged by a psum mixer."""
     x = rng.standard_normal((8, 2048)).astype(np.float32)
