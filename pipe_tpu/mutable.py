@@ -223,6 +223,16 @@ class Destination:
             future = [b for b, _ in self._targeted if b > frontier]
             return min(future) if future else None
 
+    def clear_targeted(self) -> None:
+        """Drop undelivered block-indexed batches. A restarted pipe is a NEW
+        stream (reference ``pipe_test.go:108-131``): an ``at_block=N`` push
+        is a coordinate of the stream it was pushed into, so a target the
+        previous stream never reached must not fire at block N of the next
+        one. Untargeted batches survive — they mean "the next dispatched
+        block", whichever stream that is."""
+        with self._lock:
+            self._targeted = []
+
 
 def new_destination() -> Destination:
     return Destination()
@@ -239,6 +249,12 @@ class Pusher:
 
     def add_destination(self, ctx: Context, dest: Destination) -> None:
         self._destinations[ctx] = dest
+
+    def clear_targeted(self) -> None:
+        """Drop undelivered block-indexed batches in every destination (see
+        :meth:`Destination.clear_targeted`; called on pipe restart)."""
+        for dest in set(self._destinations.values()):
+            dest.clear_targeted()
 
     def has_destination(self, ctx: Context) -> bool:
         return ctx in self._destinations

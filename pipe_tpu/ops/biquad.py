@@ -209,6 +209,14 @@ def _opaque_one(x):
     survive to codegen). Multiplying every product by this runtime one
     makes any remaining contraction compute ``fma(p, 1, q) = round(p+q)``
     — exactly the required semantics either way.
+
+    The operand ``x`` MUST be a traced (runtime) value: if it is a
+    compile-time constant, XLA folds ``x*0 + 1`` to a literal 1.0, the
+    algebraic simplifier strips the ``* 1``, fma contraction returns, and
+    the dd layer silently degrades to the f32 kappa floor. Every in-tree
+    caller threads coefficients as jit parameters; direct users of
+    ``biquad_block`` with constant coefficients should pass them as traced
+    arrays (or derive ``one`` from the always-traced signal buffer).
     ``tests/test_ops.py::test_dd_transforms_exact_under_jit`` pins this on
     every backend the suite runs on."""
     return x * 0.0 + 1.0
@@ -506,9 +514,9 @@ class Biquad:
     ride as f32 hi/lo pairs (~2^-48), so near-DC / high-Q sections whose
     f32 noise-gain floor sits below 100 dB (kappa = ||1/A||_2 amplification,
     docs/PERF_NOTES.md) still land at the flat ~2^-24 output-rounding cap
-    (~138 dB). Costs ~a few x the default tiled path; the default f32
-    engine (with refinement) is the right choice whenever its floor
-    clears the target."""
+    (~138 dB). Costs ~25x the default tiled path on CPU (measured,
+    docs/PERF_NOTES.md); the default f32 engine (with refinement) is the
+    right choice whenever its floor clears the target."""
 
     def __init__(self, sos, refine: bool = True, precision: str | None = None):
         if precision not in (None, "extended"):

@@ -222,6 +222,11 @@ class Pipe:
         self._merger = _Merger(self._cancel)
         self._running = True
 
+        # A restart is a NEW stream (the frontier rewinds to block 0 in
+        # start_hook): block-indexed pushes the previous stream never
+        # reached must not fire into this one.
+        self.pusher.clear_targeted()
+
         if initializers:
             self.pusher.put(*initializers)
         self.pusher.push()

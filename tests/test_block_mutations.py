@@ -214,6 +214,33 @@ def test_insert_processor_at_block_exact(lookahead, batch_blocks):
     assert v[-1] == 2.0
 
 
+def test_stale_target_does_not_fire_into_next_stream():
+    """A restarted pipe is a NEW stream (reference pipe_test.go:108-131):
+    an at_block push the previous stream never reached (it was stopped
+    first) must NOT fire at that block index of the next stream."""
+    gain = ops.Gain(1.0)
+    src = mock.Source(channels=1, value=1.0, interval=0.001)  # unbounded
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[gain.processor()], sink=sink.sink()
+        ),
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    target = p.block_index(0) + 300  # the stream is stopped before this
+    p.push(gain.set_gain(7.0), at_block=target)
+    p.stop(60)
+    assert np.all(sink.values == 1.0)
+
+    # the second stream runs PAST the stale target block
+    p.start(src.reset())
+    _wait_samples(sink, sink.samples + (target + 20) * BLOCK)
+    p.stop(60)
+    assert np.all(sink.values == 1.0), "stale at_block fired into new stream"
+
+
 def test_pending_window_bounded_under_split_dispatches():
     """Recurring targeted mutations split k-block dispatches into singles;
     the in-flight queue must stay bounded by lookahead (it used to grow

@@ -307,7 +307,36 @@ def test_mesh_biquad_and_compressor_chain(rng):
     )
     run_pipe(p)
     oracle = scipy.signal.sosfilt(sos[None, :], data.astype(np.float64), axis=1)
-    assert snr_db(oracle, sink.values) > 75  # f32 recursion bound
+    # the refined engine's boundary table (docs/PERF_NOTES.md) puts a
+    # q=1.0 @ 1 kHz section comfortably above 100 dB; assert the real bound
+    # so a silent loss of refinement on the mesh path fails here
+    assert snr_db(oracle, sink.values) > 100
+
+
+def test_mesh_biquad_extended_precision_pipe(rng):
+    """precision='extended' END-TO-END through the mesh Pipe API (not just
+    the BiquadStage): a 60 Hz section below the f32 kappa floor must stay
+    >=100 dB with the dd carry crossing chunk and device boundaries."""
+    C, BLOCK = 2, 4096
+    mesh = parallel.make_mesh(1, 4)
+    data = (rng.standard_normal((C, BLOCK * 3)) * 0.5).astype(np.float32)
+    sos = ops.design_peaking_eq(44100, freq=60.0, q=0.7, gain_db=6.0)
+
+    bq = parallel.sharded.Biquad(sos, precision="extended")
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[bq.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    oracle = scipy.signal.sosfilt(sos[None, :], data.astype(np.float64), axis=1)
+    snr = snr_db(oracle, sink.values)
+    assert snr > 100, f"{snr:.1f} dB"
 
 
 def test_mesh_requires_divisibility():

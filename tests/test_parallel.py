@@ -117,9 +117,9 @@ def test_biquad_time_sharded_extended_precision(rng):
     """precision='extended' on the mesh: a 60 Hz q=0.7 section (f32
     kappa floor ~85 dB — the refined engine CANNOT clear 100 dB there)
     must stay >=100 dB with the dd recurrence sharded over 4 time shards
-    and the dd carry crossing two chunk boundaries."""
+    and the dd carry crossing two chunk boundaries (3 chunks)."""
     sos = ops.design_peaking_eq(44100, freq=60.0, q=0.7, gain_db=6.0)
-    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    x = rng.standard_normal((2, 12288)).astype(np.float32)
     mesh = parallel.make_mesh(1, 4)
     chain = parallel.ShardedChain(
         mesh,
