@@ -100,25 +100,38 @@ _DTYPE_BYTES = {
     "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
     "pred": 1, "c64": 8, "c128": 16,
 }
-_COLL_RE = re.compile(
-    r"=\s+(\w+)\[([0-9,]*)\]\S*\s+"
-    r"(collective-permute|all-gather|all-reduce|reduce-scatter|all-to-all)\("
+_SHAPE_RE = re.compile(r"(\w+)\[([0-9,]*)\]")
+_KIND_RE = re.compile(
+    r"[\s=](collective-permute|all-gather|all-reduce|reduce-scatter|"
+    r"all-to-all)\("
 )
 
 
 def collective_bytes(hlo_text: str) -> dict:
     """Sum output-shape bytes of every collective op in optimized HLO.
-    Convention: per-device per-step OUTPUT bytes (for all-gather that is the
-    full gathered buffer; a device's received traffic is (g-1)/g of it, and
-    a ring all-reduce moves ~2x — the table stays in raw output bytes and
-    notes the convention)."""
+    Convention: per-device per-step OUTPUT bytes (for all-gather that is
+    the full gathered buffer; a device's received traffic is (g-1)/g of
+    it, and a ring all-reduce moves ~2x — the table stays in raw output
+    bytes and notes the convention). Output may be a TUPLE (all-to-all
+    emits one element per participant); every shape on the op's left-hand
+    side is summed."""
     out: dict = {}
-    for dtype, dims, kind in _COLL_RE.findall(hlo_text):
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        out[kind] = out.get(kind, 0) + n * _DTYPE_BYTES.get(dtype, 4)
+    for line in hlo_text.splitlines():
+        m = _KIND_RE.search(line)
+        if m is None:
+            continue
+        lhs = line[: m.start()]
+        if "=" not in lhs:
+            continue  # an operand reference, not an op definition
+        total = 0
+        for dtype, dims in _SHAPE_RE.findall(lhs):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * _DTYPE_BYTES.get(dtype, 4)
+        kind = m.group(1)
+        out[kind] = out.get(kind, 0) + total
     return out
 
 

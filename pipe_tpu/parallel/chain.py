@@ -20,8 +20,9 @@ Stage coverage (BASELINE.json config 5 chain and friends):
 - :class:`ResampleStage`  — polyphase L/M; requires ``N_local*L % M == 0``
   so every device emits an equal, static output count (phase offset is then
   identical at every boundary)
-- :class:`OLSStage`       — chunk-granular overlap-save FFT convolution,
-  P-sample halo
+- :class:`OLSStage`       — overlap-save FFT convolution; P-sample halo,
+  or for IRs longer than the local chunk a DISTRIBUTED partitioned FDL
+  (bins sharded over the time axis, two all_to_all transposes per step)
 - :class:`BiquadStage`    — IIR sharded over time on the tiled Toeplitz
   kernel: per-device zero-state responses plus a cross-device exclusive
   prefix of 2x2 affine totals, then a rank-2 boundary correction and one
@@ -53,7 +54,14 @@ from pipe_tpu.ops.biquad import _affine_combine
 class Stage:
     """Build-time protocol. ``build(c_global, c_local, n_local)`` fixes
     shapes; carries are GLOBAL arrays (shard_map shards them by
-    ``carry_spec``) while ``apply`` sees the local view."""
+    ``carry_spec``) while ``apply`` sees the local view.
+
+    The builder (``ShardedChain`` / ``parallel.components``) sets
+    ``time_shards`` to the mesh time-axis size before calling ``build`` —
+    stages whose carry layout depends on the axis size (the bin-sharded
+    OLS FDL) read it there; everyone else ignores it."""
+
+    time_shards: int = 1
 
     def build(self, c_global: int, c_local: int, n_local: int):
         raise NotImplementedError
@@ -222,15 +230,27 @@ class OLSStage(Stage):
     - **single-FFT** (``P <= n_local``): each device convolves
       [P-sample halo, local chunk] with one FFT sized to the next power of
       two >= P + N_local and keeps the last N_local outputs.
-    - **partitioned FDL** (``P > n_local`` — the 64k-tap reverb of BASELINE
-      config 4): classical UPOLS with partition size ``B = n_local``. Each
-      device FFTs its [previous-block halo, local block] window (one
-      ``ppermute``), the per-block spectra are ``all_gather``ed over the
-      time axis, and every device multiply-accumulates its K-deep
-      frequency-domain delay line (``K = ceil(P/B)``) against the partition
-      spectra. The trailing K-1 block spectra are the replicated carry that
-      crosses chunk boundaries — the FDL state of ``pipe_tpu.ops.ols``
-      crossing the device boundary.
+    - **distributed partitioned FDL** (``P > n_local`` — the 64k-tap reverb
+      of BASELINE config 4): UPOLS with partition size ``B = n_local``,
+      with the frequency-domain delay line SHARDED over the time axis by
+      frequency bins. The classical 2B analysis window spectrum decomposes
+      linearly over zero-padded block FFTs: with ``A_j = rfft(x_j, 2B)``
+      and the B-sample shift phase ``sigma_k = (-1)^k``,
+      ``W_g = A_{g-1} + sigma * A_g``, so the window halo folds into the
+      partition spectra once at build: ``G_0 = sigma*H_0``,
+      ``G_m = sigma*H_m + H_{m-1}``, ``G_K = H_{K-1}`` and
+      ``y_g = last B of irfft(sum_{m=0}^{K} G_m A_{g-m})``.
+
+      Per chunk step each device FFTs only its OWN block (no neighbor
+      halo), one ``all_to_all`` transposes the T fresh block spectra to a
+      bins-over-devices layout, every device multiply-accumulates its bin
+      slice of the K+1-deep A-spectra delay line against its bin slice of
+      G for ALL T outputs, and a second ``all_to_all`` brings each output
+      block's spectrum home for the inverse FFT. The FDL carry and the
+      partition spectra are bin-sharded (carry memory and param bytes /T);
+      per-step collective traffic is two spectrum-sized transposes,
+      independent of T and K — vs the former all_gather of all T window
+      spectra plus a (K-1)-deep carry replicated on every device.
     """
 
     def __init__(self, ir):
@@ -251,21 +271,27 @@ class OLSStage(Stage):
             K = -(-Pn // B)
             self._F = 2 * B
             self._K = K
-            bins = self._F // 2 + 1
+            bins = B + 1
+            T = max(1, int(self.time_shards))
+            self._t = T
+            # bins padded to the transpose width (T equal slices)
+            self._bs = -(-bins // T)
+            self._bins_pad = self._bs * T
             self.carry = {
-                "prev": jnp.zeros((c_global, B), jnp.float32),
-                # fdl[j] = spectrum planes of global block (start-1-j)
-                "fdl": jnp.zeros((K - 1, 2, c_global, bins), jnp.float32),
+                # zfdl[i] = A-spectrum planes of global block (start-K+i)
+                # (oldest first), frequency bins sharded over the time axis
+                "zfdl": jnp.zeros(
+                    (K, 2, c_global, self._bins_pad), jnp.float32
+                ),
             }
-            self.carry_spec = {
-                "prev": P(CH_AXIS, None),
-                "fdl": P(None, None, CH_AXIS, None),
-            }
+            self.carry_spec = {"zfdl": P(None, None, CH_AXIS, TIME_AXIS)}
             self.params = {"ir_f": self.transform_ir(self._ir)}
-            # shared: (2, K, bins) replicated; per-channel:
-            # (C, 2, K, bins) sharded over CH_AXIS with the channels
+            # reversed G planes, bin-sharded with the carry: shared
+            # (2, K+1, binsP); per-channel (C, 2, K+1, binsP)
             self.param_spec = {
-                "ir_f": P() if self._ir.ndim == 1 else P(CH_AXIS, None, None, None)
+                "ir_f": P(None, None, TIME_AXIS)
+                if self._ir.ndim == 1
+                else P(CH_AXIS, None, None, TIME_AXIS)
             }
         else:
             F = 1 << int(np.ceil(np.log2(Pn + n_local)))
@@ -290,17 +316,30 @@ class OLSStage(Stage):
             planes = np.stack([spec.real, spec.imag], axis=-2).astype(np.float32)
             return jnp.asarray(planes)
         B, K = self._F // 2, self._K
+        bins = B + 1
         shared = ir.ndim == 1
         irc = ir[None, :] if shared else ir
         C = irc.shape[0]
         padded = np.zeros((C, K * B), np.float64)
         padded[:, : irc.shape[1]] = irc
         parts = padded.reshape(C, K, B)
-        spec = np.fft.rfft(parts, n=self._F, axis=-1)  # (C, K, bins)
-        planes = np.stack([spec.real, spec.imag], axis=1).astype(np.float32)
+        H = np.fft.rfft(parts, n=self._F, axis=-1)  # (C, K, bins)
+        # fold the window halo into the partitions (class docstring):
+        # G_m = sigma * H_m + H_{m-1}, sigma_k = (-1)^k
+        sigma = np.where(np.arange(bins) % 2 == 0, 1.0, -1.0)
+        G = np.zeros((C, K + 1, bins), np.complex128)
+        G[:, :K] += sigma * H
+        G[:, 1:] += H
+        Grev = G[:, ::-1]  # Grev[k] = G_{K-k}: the windowed-MAC order
+        planes = np.stack(
+            [Grev.real, Grev.imag], axis=1
+        ).astype(np.float32)  # (C, 2, K+1, bins)
+        pad = self._bins_pad - bins
+        if pad:
+            planes = np.pad(planes, ((0, 0), (0, 0), (0, 0), (0, pad)))
         if shared:
-            return jnp.asarray(planes[0])  # (2, K, bins)
-        return jnp.asarray(planes)  # (C, 2, K, bins)
+            return jnp.asarray(planes[0])  # (2, K+1, binsP)
+        return jnp.asarray(planes)  # (C, 2, K+1, binsP)
 
     def apply(self, carry, params, x):
         if self._partitioned:
@@ -323,53 +362,60 @@ class OLSStage(Stage):
         return {"hist": new_hist}, y
 
     def _apply_fdl(self, carry, params, x):
+        """Distributed UPOLS step (class docstring). Local shapes: ``x``
+        (C, B); ``carry['zfdl']`` (K, 2, C, bs); ``params['ir_f']``
+        (2, K+1, bs) shared or (C, 2, K+1, bs) per-channel."""
         C, B = x.shape
-        K = self._K
-        T = lax.axis_size(TIME_AXIS)
-        # this device's 2B analysis window: [previous block, my block]
-        prev = halo_from_left(x, B, TIME_AXIS, carry["prev"])
-        X = jnp.fft.rfft(jnp.concatenate([prev, x], axis=1), axis=-1)
-        Xp = jnp.stack(
-            [jnp.real(X), jnp.imag(X)]
-        ).astype(jnp.float32)  # (2, C, bins)
-        # every device gets every block's spectrum for this chunk
-        G = lax.all_gather(Xp, TIME_AXIS, axis=0)  # (T, 2, C, bins)
-        # ext[i] = spectrum of global block i-(K-1); carried spectra first
-        ext = jnp.concatenate([jnp.flip(carry["fdl"], axis=0), G], axis=0)
-        g = lax.axis_index(TIME_AXIS)
-        window = lax.dynamic_slice(
-            ext, (g, 0, 0, 0), (K,) + ext.shape[1:]
-        )  # blocks g-K+1 .. g, increasing
-        wf = jnp.flip(window, axis=0)  # wf[k] = spectrum of block g-k
-        wr, wi = wf[:, 0], wf[:, 1]  # (K, C, bins)
+        K, T = self._K, self._t
+        bins = B + 1
+        bs = self._bs
+        # zero-padded block FFT — each device transforms only its own block
+        A = jnp.fft.rfft(x, n=self._F, axis=-1)  # (C, bins)
+        Ap = jnp.stack([jnp.real(A), jnp.imag(A)]).astype(jnp.float32)
+        Ap = jnp.pad(Ap, ((0, 0), (0, 0), (0, self._bins_pad - bins)))
+        if T > 1:
+            # transpose #1: blocks-over-devices -> bins-over-devices
+            new = lax.all_to_all(
+                Ap.reshape(2, C, T, bs), TIME_AXIS,
+                split_axis=2, concat_axis=0, tiled=False,
+            )  # (T, 2, C, bs): block g's spectrum, my bin slice
+        else:
+            new = Ap[None]
+        # ext[i] = A-spectrum of global block (start - K + i), oldest first
+        ext = jnp.concatenate([carry["zfdl"], new], axis=0)  # (K+T, 2, C, bs)
+        # windows[g, k] = A of block (start + g - K + k); Y_g needs k=0..K
+        w = jnp.stack([ext[g : g + K + 1] for g in range(T)])
+        wr, wi = w[:, :, 0], w[:, :, 1]  # (T, K+1, C, bs)
         hi_p = config.matmul_precision()
-        ir_f = params["ir_f"]
-        if ir_f.ndim == 3:  # shared (2, K, bins)
-            hr, hh = ir_f[0], ir_f[1]  # (K, bins)
-            acc_re = jnp.einsum("kcb,kb->cb", wr, hr, precision=hi_p) - jnp.einsum(
-                "kcb,kb->cb", wi, hh, precision=hi_p
+        ir_f = params["ir_f"]  # Grev: Grev[k] = G_{K-k} matches windows
+        if ir_f.ndim == 3:  # shared (2, K+1, bs)
+            gr, gi = ir_f[0], ir_f[1]
+            Yr = jnp.einsum("gkcb,kb->gcb", wr, gr, precision=hi_p) - jnp.einsum(
+                "gkcb,kb->gcb", wi, gi, precision=hi_p
             )
-            acc_im = jnp.einsum("kcb,kb->cb", wr, hh, precision=hi_p) + jnp.einsum(
-                "kcb,kb->cb", wi, hr, precision=hi_p
+            Yi = jnp.einsum("gkcb,kb->gcb", wr, gi, precision=hi_p) + jnp.einsum(
+                "gkcb,kb->gcb", wi, gr, precision=hi_p
             )
-        else:  # per-channel (C_local, 2, K, bins)
-            hr, hh = ir_f[:, 0], ir_f[:, 1]  # (C, K, bins)
-            acc_re = jnp.einsum("kcb,ckb->cb", wr, hr, precision=hi_p) - jnp.einsum(
-                "kcb,ckb->cb", wi, hh, precision=hi_p
+        else:  # per-channel (C, 2, K+1, bs)
+            gr, gi = ir_f[:, 0], ir_f[:, 1]
+            Yr = jnp.einsum("gkcb,ckb->gcb", wr, gr, precision=hi_p) - jnp.einsum(
+                "gkcb,ckb->gcb", wi, gi, precision=hi_p
             )
-            acc_im = jnp.einsum("kcb,ckb->cb", wr, hh, precision=hi_p) + jnp.einsum(
-                "kcb,ckb->cb", wi, hr, precision=hi_p
+            Yi = jnp.einsum("gkcb,ckb->gcb", wr, gi, precision=hi_p) + jnp.einsum(
+                "gkcb,ckb->gcb", wi, gr, precision=hi_p
             )
-        y = jnp.fft.irfft(lax.complex(acc_re, acc_im), n=self._F, axis=-1)
+        Yp = jnp.stack([Yr, Yi], axis=1)  # (T, 2, C, bs)
+        if T > 1:
+            # transpose #2: each output block's spectrum back to its owner
+            back = lax.all_to_all(
+                Yp, TIME_AXIS, split_axis=0, concat_axis=2, tiled=False
+            )  # (2, C, T, bs), bin slices in order
+            Y = back.reshape(2, C, self._bins_pad)[:, :, :bins]
+        else:
+            Y = Yp[0][:, :, :bins]
+        y = jnp.fft.irfft(lax.complex(Y[0], Y[1]), n=self._F, axis=-1)
         y = y[:, B:].astype(jnp.float32)
-        # carries: last block's samples; trailing K-1 block spectra
-        # (ext is identical on every device, so the new FDL is replicated)
-        new_prev = last_shard(x, TIME_AXIS)
-        new_fdl = jnp.flip(
-            lax.dynamic_slice(ext, (T, 0, 0, 0), (K - 1,) + ext.shape[1:]),
-            axis=0,
-        )
-        return {"prev": new_prev, "fdl": new_fdl}, y
+        return {"zfdl": ext[T:]}, y
 
 
 def _sharded_iir(v, s, a1, a2, basis):
@@ -1127,6 +1173,7 @@ class ShardedChain:
         if not self.stages:
             raise ValueError("ShardedChain needs at least one stage")
         for i, st in enumerate(self.stages):
+            st.time_shards = t_shards
             st.build(c_global, c_local, n_local)
             c_global, c_local, n_local = (
                 st.out_c_global, st.out_c_local, st.out_n_local

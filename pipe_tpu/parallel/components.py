@@ -81,6 +81,7 @@ class ShardedOp:
             mesh = require_mesh()
             c_local, n_local = _local_shape(mesh, props.channels, block_size)
             stage = self._make_stage(props)
+            stage.time_shards = mesh.shape[TIME_AXIS]
             stage.build(props.channels, c_local, n_local)
             self.context = mctx
             self._stage = stage

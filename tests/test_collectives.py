@@ -1,0 +1,120 @@
+"""Static collective-traffic regression tests (VERDICT r2 item 7).
+
+Compiles each stage's sharded chunk step on the 2x4 virtual mesh, walks the
+optimized SPMD HLO, and asserts the per-device collective-bytes : payload
+ratio against a checked-in bound (the measured value plus slack). A stage
+that silently starts over-communicating — say a refactor that all-gathers
+its input — fails here instead of landing as a scaling regression on real
+hardware. The bounds mirror the table in docs/PERF_NOTES.md; the
+measurement convention (raw collective OUTPUT bytes per device per chunk)
+is documented in ``benchmarks/scaling.py::collective_bytes``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+from pipe_tpu import ops, parallel as par  # noqa: E402
+
+from benchmarks.scaling import collective_bytes  # noqa: E402
+
+
+def _ratio(stages, channels, chunk):
+    mesh = par.make_mesh(2, 4)
+    chain = par.ShardedChain(mesh, stages, channels=channels, chunk_frames=chunk)
+    x = np.zeros((channels, chunk), np.float32)
+    txt = (
+        chain._step.lower(chain.carries, chain.params(), x).compile().as_text()
+    )
+    coll = collective_bytes(txt)
+    n_local = chunk // mesh.shape["time"]
+    c_local = channels // mesh.shape["ch"]
+    payload = c_local * n_local * 4
+    return sum(coll.values()) / payload, coll
+
+
+# (name, stage factory, chunk, max ratio). Bounds = measured + ~15% slack.
+CASES = [
+    ("gain", lambda: [par.GainStage(0.5)], 32768, 0.0),
+    (
+        "fir255",
+        lambda: [par.FIRStage(ops.design_lowpass(255, 4000, 44100))],
+        32768,
+        0.2,
+    ),
+    (
+        "fir_resample",
+        lambda: [
+            par.FIRResampleStage(
+                ops.design_lowpass(255, 4000, 44100), 48000, 44100
+            )
+        ],
+        147 * 256 * 4,
+        0.05,
+    ),
+    (
+        "ols_64k_distributed_fdl",
+        lambda: [
+            par.OLSStage(
+                np.random.default_rng(0).standard_normal(65536)
+                * np.exp(-np.arange(65536) / 8000.0)
+            )
+        ],
+        32768,
+        4.5,  # two spectrum transposes: the family floor is 4.0
+    ),
+    (
+        "biquad_refined",
+        lambda: [
+            par.BiquadStage(
+                ops.design_peaking_eq(44100, freq=1000, q=10.0, gain_db=6.0)
+            )
+        ],
+        32768,
+        0.01,
+    ),
+    ("compressor", lambda: [par.CompressorStage()], 32768, 0.005),
+    (
+        "spectral_gain",
+        lambda: [par.SpectralGainStage(1024, 256)],
+        32768,
+        1.1,
+    ),
+    (
+        "mix_psum",
+        lambda: [par.MixStage(np.ones((2, 16), np.float32) / 16)],
+        32768,
+        0.3,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,stages,chunk,bound", CASES, ids=[c[0] for c in CASES])
+def test_stage_collective_ratio(name, stages, chunk, bound):
+    ratio, coll = _ratio(stages(), 16, chunk)
+    assert ratio <= bound, (
+        f"{name}: collective ratio {ratio:.3f} > bound {bound} ({coll}); "
+        "a stage started over-communicating (or the bound needs a "
+        "deliberate, documented update in docs/PERF_NOTES.md)"
+    )
+
+
+def test_ols_distributed_fdl_carry_is_sharded():
+    """The FDL carry must stay bin-sharded (memory /T): a regression to a
+    replicated carry would multiply state memory by the time-axis size."""
+    from jax.sharding import PartitionSpec as P
+    from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+    st = par.OLSStage(np.ones(65536, np.float32))
+    st.time_shards = 4
+    st.build(16, 8, 8192)
+    assert st.carry_spec == {"zfdl": P(None, None, CH_AXIS, TIME_AXIS)}
+    K = st._K
+    assert st.carry["zfdl"].shape[0] == K
+    # bins padded to T equal slices; per-device share is binsP // T
+    assert st._bins_pad % 4 == 0

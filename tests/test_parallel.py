@@ -510,6 +510,26 @@ def test_ols_partitioned_per_channel_and_channel_sharded(rng):
     assert snr_db(oracle, out) > 100
 
 
+def test_ols_distributed_fdl_mesh_shapes(rng):
+    """VERDICT r2 item 1: the bin-sharded (distributed) FDL holds >=100 dB
+    on BOTH a 1x8 and a 2x4 mesh, multi-chunk, against the float64 oracle —
+    different T means different bin-slice widths and different K."""
+    P = 10000
+    ir = rng.standard_normal(P) * np.exp(-np.arange(P) / 2000.0)
+    x = rng.standard_normal((4, 8192 * 3)).astype(np.float32)
+    oracle = scipy.signal.fftconvolve(
+        x.astype(np.float64), ir[None, :], axes=1
+    )[:, : x.shape[1]]
+    for ch, t in ((1, 8), (2, 4)):
+        mesh = parallel.make_mesh(ch, t)
+        chain = parallel.ShardedChain(
+            mesh, [parallel.OLSStage(ir)], channels=4, chunk_frames=8192
+        )
+        out = chain.process(x)
+        snr = snr_db(oracle, out)
+        assert snr > 100, f"mesh {ch}x{t}: {snr:.1f} dB"
+
+
 def test_ols_partitioned_matches_streaming_engine(rng):
     """Sharded partitioned-FDL output == the streaming UPOLS engine
     (ops.OLSConvolve) on the same stream — the two execution paths agree."""
