@@ -719,96 +719,185 @@ class GateStage(Stage):
 
 
 class DelayStage(Stage):
-    """Pure delay / feedback echo, time-sharded.
+    """Pure delay / feedback echo, time-sharded, for ANY ``delay_frames``.
 
-    Two regimes (decided at build, mirroring the streaming component's
-    structural gating, ``ops/dynamics.py::Delay``):
+    Two regimes, decided STRUCTURALLY at build (by whether feedback is
+    requested, not by divisibility — r3, VERDICT r2 item 3):
 
-    - ``n_local % delay == 0``: **feedback-capable**. The echo recurrence
-      ``s[n] = x[n] + fb * s[n-D]`` reshapes to rows of D samples —
-      an affine one-pole over rows — solved by a local associative scan
-      plus a cross-device exclusive prefix of the per-device transfer
-      ``(fb^{rows}, driven-tail)``, the biquad mechanic at block
-      granularity. ``feedback`` stays a LIVE traced parameter.
-    - otherwise (``delay <= n_local`` required): pure delay only — the tap
-      is a D-sample halo from the left neighbor; feedback is structurally
-      zero and ``set_feedback`` on the wrapper raises.
+    - **pure delay** (``feedback == 0`` and ``allow_feedback`` not set):
+      the tap ``d[i] = s[global_i - D]`` reads from at most two source
+      blocks ``ceil(D/n_local)`` hops to the left (two static ``ppermute``
+      shifts) or from the carried D-sample history — so a delay LONGER
+      than the local chunk works. ``set_feedback`` on the wrapper raises
+      (the capability is structural, as in the streaming component).
+    - **feedback echo** ``s[n] = x[n] + fb * s[n-D]`` for arbitrary D:
+      the D-history transfer across one local chunk is an affine map with
+      a rotated index — ``h_out[j] = fb^{e_j} * h_in[(j + n) mod D] + b_j``
+      where ``e_j`` counts the recurrence steps touching that lane and
+      ``b_j`` is the locally-driven response (computed by a lane-parallel
+      associative scan over left-padded rows of D). These maps compose
+      associatively (rotation adds, gains multiply lane-wise), so an
+      exclusive prefix over the time axis recovers each device's true
+      entering history; the delayed tap then needs NO extra exchange
+      (``d[i] = h_in[i]`` for ``i < D``, else the local ``s[i-D]``).
+      ``feedback`` stays a LIVE traced parameter. The prefix moves
+      O(T * C * D) bytes per step (the history IS the state), so very long
+      feedback delays on wide meshes are collective-heavy — pure delays
+      are not.
     """
 
     def __init__(self, delay_frames: int, feedback: float = 0.0,
-                 wet: float = 1.0, dry: float = 0.0):
+                 wet: float = 1.0, dry: float = 0.0,
+                 allow_feedback: Optional[bool] = None):
         if delay_frames < 1:
             raise ValueError("delay_frames must be >= 1")
         self.delay_frames = int(delay_frames)
         self._init = dict(feedback=feedback, wet=wet, dry=dry)
+        self._allow_feedback = allow_feedback
 
     def build(self, c_global, c_local, n_local):
         D = self.delay_frames
-        self.can_feedback = n_local % D == 0
-        if not self.can_feedback:
-            if self._init["feedback"] != 0.0:
-                raise ValueError(
-                    f"feedback echo needs the local chunk ({n_local}) to be "
-                    f"a multiple of delay_frames ({D}) so the recurrence "
-                    "reshapes to whole rows; resize the chunk or the mesh"
-                )
-            if D > n_local:
-                raise ValueError(
-                    f"delay halo {D} exceeds local chunk {n_local}; "
-                    "use a larger chunk or fewer time shards"
-                )
+        self.can_feedback = (
+            self._allow_feedback
+            if self._allow_feedback is not None
+            else self._init["feedback"] != 0.0
+        )
         self.carry = {"hist": jnp.zeros((c_global, D), jnp.float32)}
         self.params = {
             k: jnp.asarray(v, jnp.float32) for k, v in self._init.items()
         }
         self.carry_spec = {"hist": P(CH_AXIS, None)}
         self.param_spec = {k: P() for k in self._init}
+        self._n_local = n_local
         self.out_c_global, self.out_c_local, self.out_n_local = (
             c_global, c_local, n_local,
         )
 
+    # -- pure-delay tap: multi-hop halo ---------------------------------
+
+    def _delayed_tap(self, s, hist):
+        """``d[i] = s_global[start + i - D]`` from two ppermute'd source
+        blocks and the carried history. ``s`` is the local (C, n) stream
+        the tap reads (x for pure delay)."""
+        C, n = s.shape
+        D = self.delay_frames
+        h = -(-D // n)  # source blocks are h and h-1 hops left
+        r = h * n - D  # 0 <= r < n: offset of the tap window in block g-h
+        T = lax.axis_size(TIME_AXIS)
+        g = lax.axis_index(TIME_AXIS)
+
+        def shift(v, hops):
+            if hops == 0:
+                return v
+            if hops >= T:
+                return jnp.zeros_like(v)
+            return lax.ppermute(
+                v, TIME_AXIS, perm=[(i, i + hops) for i in range(T - hops)]
+            )
+
+        buf = jnp.concatenate([shift(s, h), shift(s, h - 1)], axis=1)
+        block_cand = buf[:, r : r + n]
+        # history candidate: hist index g*n + i for positions before the
+        # chunk start (clamped slice; unused lanes are masked off below)
+        histpad = jnp.concatenate(
+            [hist, jnp.zeros((C, n), jnp.float32)], axis=1
+        )
+        off = jnp.minimum(g * n, jnp.asarray(D, jnp.int32))
+        hist_cand = lax.dynamic_slice(histpad, (0, off), (C, n))
+        pos = g * n - D + jnp.arange(n, dtype=jnp.int32)  # global tap index
+        return jnp.where(pos[None, :] < 0, hist_cand, block_cand)
+
+    def _gather_last(self, s, hist):
+        """The trailing D samples of [carried history, global chunk] of
+        ``s`` — the next chunk's history carry (replicated). When D exceeds
+        the whole chunk, part of the OLD history survives into the new
+        one."""
+        D = self.delay_frames
+        C, n = s.shape
+        if D <= n:
+            return last_shard(s[:, -D:], TIME_AXIS)
+        g = lax.all_gather(s, TIME_AXIS, axis=0)  # (T, C, n)
+        flat = jnp.transpose(g, (1, 0, 2)).reshape(C, -1)
+        return jnp.concatenate([hist, flat], axis=1)[:, -D:]
+
     def apply(self, carry, params, x):
         from pipe_tpu.ops.dynamics import _affine1_combine
 
-        C, N = x.shape
+        C, n = x.shape
         D = self.delay_frames
         hist = carry["hist"]  # (C, D): trailing D samples of s
         if not self.can_feedback:
-            left = halo_from_left(x, D, TIME_AXIS, hist)
-            delayed = jnp.concatenate([left, x], axis=1)[:, :N]
+            delayed = self._delayed_tap(x, hist)
             y = params["dry"] * x + params["wet"] * delayed
-            new_hist = last_shard(x[:, -D:], TIME_AXIS)
-            return {"hist": new_hist}, y
+            return {"hist": self._gather_last(x, hist)}, y
 
         fb = params["feedback"]
-        m = N // D
-        rows = x.reshape(C, m, D)
-        a = jnp.broadcast_to(fb, rows.shape[:2])[..., None]  # (C, m, 1)
-        a = jnp.broadcast_to(a, rows.shape)
-        # local scan with zero entering state: s_loc[r] = x[r] + fb*s_loc[r-1]
-        a_cum, s_loc = lax.associative_scan(_affine1_combine, (a, rows), axis=1)
-        # per-device transfer: hist_out = fb^m * hist_in + s_loc[-1]
-        a_dev = jnp.full((C,), 1.0, jnp.float32) * fb**m
+        # 1) locally-driven response s0 (zero entering history): lane-
+        # parallel scan over left-padded rows of D (pad lanes are zero, so
+        # they do not perturb the real positions)
+        w = (-n) % D
+        m = (n + w) // D
+        rows = jnp.pad(x, ((0, 0), (w, 0))).reshape(C, m, D)
+        a = jnp.broadcast_to(fb, rows.shape)
+        _, s0_rows = lax.associative_scan(_affine1_combine, (a, rows), axis=1)
+        s0 = s0_rows.reshape(C, m * D)[:, w:]
 
-        def _row_affine(left, right):
-            a1, u1 = left
-            a2, u2 = right
-            return a1 * a2, a2[:, None] * u1 + u2
+        # 2) per-device history transfer h_out[j] = fb^e_j h_in[(j+n)%D] + b_j
+        def pow_int(base, e_np):
+            # base^e for STATIC integer exponents e >= 0, correct for
+            # negative bases (float jnp.power would return NaN there)
+            mag = jnp.abs(base) ** jnp.asarray(e_np, jnp.float32)
+            sgn = jnp.where(
+                base < 0, jnp.asarray(1.0 - 2.0 * (e_np % 2), jnp.float32), 1.0
+            )
+            return mag * sgn
 
-        pre_a, pre_u = exclusive_prefix(
-            TIME_AXIS, _row_affine,
-            (jnp.ones((C,), jnp.float32), jnp.zeros((C, D), jnp.float32)),
-            (a_dev, s_loc[:, -1]),
+        j = np.arange(D)
+        p = n - D + j  # position feeding lane j (negative = untouched)
+        e = np.where(p >= 0, p // D + 1, 0)
+        touched = jnp.asarray(p >= 0)
+        a_dev = jnp.where(touched, pow_int(fb, e), 1.0)  # (D,)
+        b_dev = jnp.where(
+            touched[None, :], s0[:, np.clip(p, 0, None)], 0.0
+        )  # (C, D)
+        rho_dev = jnp.asarray(n % D, jnp.int32)
+
+        def combine(left, right):
+            rl, al, bl = left
+            rr, ar, br = right
+            return (
+                (rl + rr) % D,
+                ar * jnp.roll(al, -rr),
+                ar[None, :] * jnp.roll(bl, -rr, axis=1) + br,
+            )
+
+        unit = (
+            jnp.asarray(0, jnp.int32),
+            jnp.ones((D,), jnp.float32),
+            jnp.zeros((C, D), jnp.float32),
         )
-        # entering row for this device (the D samples preceding its slice)
-        h_in = pre_a[:, None] * hist + pre_u
-        # correction: s[r] = s_loc[r] + fb^{r+1} * h_in
-        powers = fb ** jnp.arange(1, m + 1, dtype=jnp.float32)  # (m,)
-        s = s_loc + powers[None, :, None] * h_in[:, None, :]
-        delayed = jnp.concatenate([h_in[:, None, :], s[:, :-1]], axis=1)
-        y = params["dry"] * x + params["wet"] * delayed.reshape(C, N)
-        new_hist = last_shard(s[:, -1], TIME_AXIS)
-        return {"hist": new_hist}, y
+        pre_r, pre_a, pre_b = exclusive_prefix(
+            TIME_AXIS, combine, unit, (rho_dev, a_dev, b_dev)
+        )
+        # entering history for this device
+        h_in = pre_a[None, :] * jnp.roll(hist, -pre_r, axis=1) + pre_b
+
+        # 3) boundary correction: s[i] = s0[i] + fb^{i//D + 1} h_in[i % D]
+        i = np.arange(n)
+        s = s0 + pow_int(fb, i // D + 1)[None, :] * h_in[:, i % D]
+
+        # 4) delayed tap needs no exchange: history for the first D lanes,
+        # the local stream after that
+        if D >= n:
+            delayed = h_in[:, :n]
+        else:
+            delayed = jnp.concatenate([h_in, s[:, :-D]], axis=1)
+        y = params["dry"] * x + params["wet"] * delayed
+
+        # 5) carry: every device applies its OWN transfer to its h_in; the
+        # last device's result is the global exit history
+        h_out = a_dev[None, :] * jnp.roll(h_in, -(n % D), axis=1) + b_dev
+        return {"hist": last_shard(h_out, TIME_AXIS)}, y
 
 
 class ChannelizerStage(Stage):

@@ -354,14 +354,19 @@ class Mix(ShardedOp):
 
 
 class Delay(ShardedOp):
-    """Pure delay / feedback echo. Feedback needs ``n_local % delay == 0``
-    (the recurrence reshapes to whole rows); otherwise the stage is pure
-    delay and ``set_feedback`` raises."""
+    """Pure delay / feedback echo for ANY ``delay_frames`` (longer than the
+    local chunk included). Feedback capability is structural: build with a
+    nonzero ``feedback`` or ``allow_feedback=True`` to get the (heavier)
+    cross-device recurrence machinery and a live ``set_feedback``;
+    otherwise the stage compiles the cheap two-ppermute pure-delay tap and
+    ``set_feedback`` raises (mirroring the streaming component's
+    structural gating, ``ops/dynamics.py::Delay``)."""
 
     def __init__(self, delay_frames: int, feedback: float = 0.0,
-                 wet: float = 1.0, dry: float = 0.0):
+                 wet: float = 1.0, dry: float = 0.0,
+                 allow_feedback: bool | None = None):
         super().__init__()
-        self._args = (delay_frames, feedback, wet, dry)
+        self._args = (delay_frames, feedback, wet, dry, allow_feedback)
 
     def _make_stage(self, props):
         return _chain.DelayStage(*self._args)
@@ -369,8 +374,8 @@ class Delay(ShardedOp):
     def set_feedback(self, fb) -> mutable.Mutation:
         if self._stage is not None and not self._stage.can_feedback:
             raise ValueError(
-                "this Delay cannot do feedback: the local chunk is not a "
-                "multiple of delay_frames"
+                "this Delay cannot do feedback: it was built pure "
+                "(pass feedback=... or allow_feedback=True at construction)"
             )
         return self._set_params(feedback=jnp.asarray(fb, jnp.float32))
 
