@@ -70,7 +70,7 @@ def main():
     env0 = jnp.zeros((C, 2), jnp.float32)
     check("envelope", lambda: dyn.envelope_block(
         env0, jnp.abs(x), frames,
-        jnp.asarray(0.999, jnp.float32), jnp.asarray(0.9, jnp.float32))[1])
+        jnp.asarray(0.999, jnp.float32), jnp.asarray(0.1, jnp.float32))[2])
     check("comp_gain", lambda: dyn.compressor_gain(
         jnp.abs(x), jnp.asarray(-18.0), jnp.asarray(4.0), jnp.asarray(0.0)))
 

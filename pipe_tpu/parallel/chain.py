@@ -593,12 +593,18 @@ class BiquadStage(Stage):
         return {"x_tail": new_x_tail, "s": new_s}, y
 
 
-def _sharded_envelope(carry_env, xa, release_coef, attack_coef):
+def _sharded_envelope(carry_env, carry_lo, xa, release_coef, attack_oma):
     """Smoothed peak envelope over a time-sharded chunk: the (associative)
     max-decay release follower and one-pole attack smoother of
     ``pipe_tpu.ops.dynamics`` run as local scans, then extend across devices
     via an exclusive prefix of the per-device scan totals — exactly the
-    biquad mechanic. Returns ``(new_env (C,2), env (C,N))``."""
+    biquad mechanic. The attack smoother gets the same refinement pass as
+    the streaming engine (``ops.dynamics.envelope_block``): the residual —
+    with the dd coefficient complement and the dd state low word — is
+    filtered as a second zero-entering cross-device recurrence, so the
+    sharded envelope holds the streaming engine's >=130 dB floor.
+    Returns ``(new_env (C,2), new_lo (C,), env (C,N))``."""
+    from pipe_tpu.ops.biquad import _opaque_one, _two_prod, _two_sum
     from pipe_tpu.ops.dynamics import _max_decay_combine, _affine1_combine
 
     C, N = xa.shape
@@ -618,21 +624,49 @@ def _sharded_envelope(carry_env, xa, release_coef, attack_coef):
     raw = jnp.maximum(raw_loc, enter_raw[:, None] * decay_cum)
 
     # 4) attack smoother on corrected raw, same two-step structure
-    ca = jnp.broadcast_to(attack_coef, xa.shape)
-    u = (1.0 - ca) * raw
-    ca_cum, env_loc = lax.associative_scan(_affine1_combine, (ca, u), axis=1)
-    pre_ca, pre_u = exclusive_prefix(
-        TIME_AXIS, _affine1_combine,
-        (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
-        (ca_cum[:, -1], env_loc[:, -1]),
-    )
-    enter_env = pre_ca * carry_env[:, 1] + pre_u
-    env = env_loc + enter_env[:, None] * ca_cum
+    one = _opaque_one(attack_oma)
+    oma = attack_oma
+    # laundered dd coefficient split (see ops.dynamics.envelope_block: a
+    # plain two_sum(1.0, -oma) loses its error channel under jit)
+    ca_hi = (1.0 - oma) * one
+    ca_lo = ((1.0 - ca_hi) * one - oma) * one
+    e0 = carry_env[:, 1]
+    cab = jnp.broadcast_to(ca_hi, xa.shape)
+    u = (oma * raw) * one
 
-    new_env = last_shard(
-        jnp.stack([raw[:, -1], env[:, -1]], axis=1), TIME_AXIS
+    def chunk_recurrence(v, enter):
+        """y[n] = ca_hi y[n-1] + v[n] across the whole chunk, entering
+        value ``enter`` (C,) at the chunk start."""
+        cum, loc = lax.associative_scan(_affine1_combine, (cab, v), axis=1)
+        pca, pu = exclusive_prefix(
+            TIME_AXIS, _affine1_combine,
+            (jnp.ones((C,), jnp.float32), jnp.zeros((C,), jnp.float32)),
+            (cum[:, -1], loc[:, -1]),
+        )
+        return loc + (pca * enter + pu)[:, None] * cum
+
+    y = chunk_recurrence(u, e0)
+
+    # 5) refinement: accurate residual (previous output crosses the device
+    # boundary as a one-sample halo), filtered as a second zero-entering
+    # chunk recurrence
+    yprev = jnp.concatenate(
+        [halo_from_left(y, 1, TIME_AXIS, e0[:, None]), y[:, :-1]], axis=1
     )
-    return new_env, env
+    p, pe = _two_prod(cab, yprev, one)
+    um, ue = _two_prod(jnp.broadcast_to(oma, xa.shape), raw, one)
+    s, se = _two_sum(p, um)
+    res = (s - y) + (pe + se + ue) + ca_lo * yprev
+    # the carried dd low word enters at the GLOBAL first sample only
+    g0 = lax.axis_index(TIME_AXIS) == 0
+    res = res.at[:, 0].add(jnp.where(g0, ca_hi * carry_lo, 0.0))
+    dy = chunk_recurrence(res, jnp.zeros((C,), jnp.float32))
+    env = (y + dy) * one
+
+    eh, el = _two_sum(y[:, -1], dy[:, -1])
+    new_env = last_shard(jnp.stack([raw[:, -1], eh], axis=1), TIME_AXIS)
+    new_lo = last_shard(el, TIME_AXIS)
+    return new_env, new_lo, env
 
 
 class CompressorStage(Stage):
@@ -647,26 +681,33 @@ class CompressorStage(Stage):
         self.sample_rate = float(sample_rate)
 
     def build(self, c_global, c_local, n_local):
-        self.carry = {"env": jnp.zeros((c_global, 2), jnp.float32)}
+        self.carry = {
+            "env": jnp.zeros((c_global, 2), jnp.float32),
+            "env_lo": jnp.zeros((c_global,), jnp.float32),
+        }
         self.params = {
             k: jnp.asarray(v, jnp.float32) for k, v in self._p.items()
         }
-        self.carry_spec = {"env": P(CH_AXIS, None)}
+        self.carry_spec = {"env": P(CH_AXIS, None), "env_lo": P(CH_AXIS)}
         self.param_spec = {k: P() for k in self._p}
         self.out_c_global, self.out_c_local, self.out_n_local = (
             c_global, c_local, n_local,
         )
 
     def apply(self, carry, params, x):
-        from pipe_tpu.ops.dynamics import _decay_coef, compressor_gain
+        from pipe_tpu.ops.dynamics import (
+            _attack_oma, _decay_coef, compressor_gain,
+        )
 
         rc = _decay_coef(params["release_ms"], self.sample_rate)
-        ac = _decay_coef(params["attack_ms"], self.sample_rate)
-        new_env, env = _sharded_envelope(carry["env"], jnp.abs(x), rc, ac)
+        ao = _attack_oma(params["attack_ms"], self.sample_rate)
+        new_env, new_lo, env = _sharded_envelope(
+            carry["env"], carry["env_lo"], jnp.abs(x), rc, ao
+        )
         g = compressor_gain(
             env, params["threshold_db"], params["ratio"], params["makeup_db"]
         )
-        return {"env": new_env}, x * g
+        return {"env": new_env, "env_lo": new_lo}, x * g
 
 
 class LimiterStage(CompressorStage):
@@ -696,26 +737,31 @@ class GateStage(Stage):
         self.sample_rate = float(sample_rate)
 
     def build(self, c_global, c_local, n_local):
-        self.carry = {"env": jnp.zeros((c_global, 2), jnp.float32)}
+        self.carry = {
+            "env": jnp.zeros((c_global, 2), jnp.float32),
+            "env_lo": jnp.zeros((c_global,), jnp.float32),
+        }
         self.params = {
             k: jnp.asarray(v, jnp.float32) for k, v in self._p.items()
         }
-        self.carry_spec = {"env": P(CH_AXIS, None)}
+        self.carry_spec = {"env": P(CH_AXIS, None), "env_lo": P(CH_AXIS)}
         self.param_spec = {k: P() for k in self._p}
         self.out_c_global, self.out_c_local, self.out_n_local = (
             c_global, c_local, n_local,
         )
 
     def apply(self, carry, params, x):
-        from pipe_tpu.ops.dynamics import _decay_coef
+        from pipe_tpu.ops.dynamics import _attack_oma, _decay_coef
 
         rc = _decay_coef(params["release_ms"], self.sample_rate)
-        ac = _decay_coef(params["attack_ms"], self.sample_rate)
-        new_env, env = _sharded_envelope(carry["env"], jnp.abs(x), rc, ac)
+        ao = _attack_oma(params["attack_ms"], self.sample_rate)
+        new_env, new_lo, env = _sharded_envelope(
+            carry["env"], carry["env_lo"], jnp.abs(x), rc, ao
+        )
         env_db = 20.0 * jnp.log10(jnp.maximum(env, 1e-8))
         atten = jnp.power(10.0, -params["range_db"] / 20.0)
         g = jnp.where(env_db >= params["threshold_db"], 1.0, atten)
-        return {"env": new_env}, x * g
+        return {"env": new_env, "env_lo": new_lo}, x * g
 
 
 class DelayStage(Stage):
