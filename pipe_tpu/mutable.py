@@ -39,6 +39,15 @@ class UnknownContextError(KeyError):
     (reference panics, ``mutable/pusher.go:41``)."""
 
 
+class LateTargetError(RuntimeError):
+    """A block-indexed mutation arrived after its target block was already
+    dispatched, under strict delivery (multi-host pipes): applying it at a
+    host-local later block would silently desynchronize the replicated
+    streams, so the run fails loudly instead. Push with more headroom
+    (target comfortably past the current ``Pipe.block_index`` plus
+    ``lookahead * batch_blocks``)."""
+
+
 class Context:
     """Identity token for a mutable component (``mutable/mutable.go:12``).
 
@@ -199,12 +208,28 @@ class Destination:
         runtime delivers through ``take_due``; this is the drain-all seam."""
         return self.take_due(float("inf"))
 
-    def take_due(self, frontier: int) -> Optional[Mutations]:
+    def take_due(self, frontier: int, strict: bool = False) -> Optional[Mutations]:
         """Batches due at dispatch frontier ``frontier``: every untargeted
-        batch plus targeted batches with ``target <= frontier``."""
+        batch plus targeted batches with ``target <= frontier``.
+
+        ``strict`` (multi-host delivery): a target STRICTLY below the
+        frontier raises :class:`LateTargetError` instead of merging — a
+        late landing would be host-local and silently desynchronize the
+        replicated streams; deterministic-or-fail is the contract that
+        makes batched dispatch splits replicated across hosts.
+        (``target == frontier`` is an exact landing: the executor capped
+        its previous dispatch right there.)"""
         with self._lock:
             ms, self._pending = self._pending, None
             if self._targeted:
+                if strict:
+                    late = [e[0] for e in self._targeted if e[0] < frontier]
+                    if late:
+                        raise LateTargetError(
+                            f"targeted mutation(s) at block(s) {late} "
+                            f"arrived after the dispatch frontier "
+                            f"({frontier})"
+                        )
                 due = [e for e in self._targeted if e[0] <= frontier]
                 if due:
                     self._targeted = [

@@ -51,6 +51,15 @@ class HostSync:
         self.every = max(1, int(every))
         self._next_round = self.every
 
+    @property
+    def next_round(self) -> int:
+        """The next round's dispatch frontier. With ``batch_blocks > 1``
+        the executor caps its dispatch batches here (the ``stop_before``
+        mechanic), so every host's frontier lands EXACTLY on the round
+        coordinate and an exiting host's padding matches its peers'
+        dispatch counts block for block."""
+        return self._next_round
+
     def due(self, frontier: int) -> bool:
         """True when the dispatch frontier has crossed the next round."""
         return frontier >= self._next_round

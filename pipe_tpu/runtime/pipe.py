@@ -152,13 +152,14 @@ class Pipe:
                 "(pipe_tpu.mutable.mutable()) so they form a single sync "
                 "group — the reference's sync-mode idiom (pipe.go:89-103)"
             )
-        if self._multiprocess and self.batch_blocks > 1:
-            raise ValueError(
-                "multi-host pipes need batch_blocks=1: a targeted mutation "
-                "splits a k-block dispatch at the boundary, and a split on "
-                "one host but not another would issue structurally "
-                "different executables into the same collective stream"
-            )
+        # batch_blocks > 1 is allowed on multi-host pipes (r3): pushes must
+        # be targeted there, every host pushes the same targets (the
+        # existing contract), dispatch batches are capped at both mutation
+        # targets and health-round frontiers, and a late-arriving target is
+        # a loud LateTargetError — so the split points derived from the
+        # target set are identical on every host, or the run fails, never
+        # silently diverges. Matches reference Pipe.Push-works-everywhere
+        # semantics (pipe.go:243-247) at full dispatch amortization.
         self._merger: Optional[_Merger] = None
         self._cancel = threading.Event()
         self._mutations_q: "queue.Queue" = queue.Queue()
@@ -296,12 +297,23 @@ class Pipe:
                 stop_before = None
                 if dest is not None:
                     frontier = executor.blocks_dispatched
-                    ms = dest.take_due(frontier)
+                    # strict on multi-host: a late target is an error, not
+                    # a host-local late landing (see LateTargetError)
+                    ms = dest.take_due(frontier, strict=sync is not None)
                     if ms:
                         executor.apply_mutations(ms)
                     # cap the next dispatch at the nearest block-indexed
                     # mutation so it lands exactly there
                     stop_before = dest.next_target(frontier)
+                if sync is not None:
+                    # also cap at the next health-round frontier so every
+                    # host's dispatch count lands exactly on the round
+                    # coordinate (batched dispatches would overshoot it,
+                    # desyncing an exiting peer's padding)
+                    nr = sync.next_round
+                    stop_before = (
+                        nr if stop_before is None else min(stop_before, nr)
+                    )
                 if executor.execute(stop_before) is EOF:
                     eof_exit = True
                     break

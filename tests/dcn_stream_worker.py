@@ -76,20 +76,7 @@ def main():
     )
 
     if mode == "stream":
-        # multi-host contracts: batch_blocks must stay 1 (split dispatches
-        # would desync the collective stream) and pushes must be targeted
-        try:
-            pipe_tpu.Pipe(
-                CHUNK,
-                pipe_tpu.Line(
-                    source=src_alloc, processors=[], sink=mock.Sink().sink()
-                ),
-                mesh=mesh,
-                batch_blocks=32,
-            )
-            raise AssertionError("expected batch_blocks guard")
-        except ValueError:
-            pass
+        # multi-host contract: pushes must be targeted
         p.start()
         try:
             p.push(fir.set_taps(h2))  # untargeted: must be rejected
@@ -113,6 +100,70 @@ def main():
         assert snr > 100, f"host {pid}: SNR {snr:.1f} dB"
         print(f"stream proc {pid} OK {snr:.1f} dB", flush=True)
         return
+
+    if mode == "stream_batched":
+        # VERDICT r2 item 2: batch_blocks > 1 on a multi-host pipe — one
+        # scanned dispatch advances 8 chunks on both hosts in lockstep;
+        # the targeted retune splits the batch at the SAME chunk on every
+        # host (targets are replicated, late arrival is a loud error), and
+        # dispatch batches are also capped at health-round frontiers.
+        fir_b = parallel.sharded.FIR(h1)
+        sink_b = mock.Sink()
+        pb = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=src_alloc, processors=[fir_b.processor()],
+                sink=sink_b.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=16,
+            batch_blocks=8,
+        )
+        pb.start()
+        pb.push(fir_b.set_taps(h2), at_block=SWITCH)
+        pb.wait(600.0)
+
+        out = sink_b.values
+        assert out.shape == data.shape, out.shape
+        x64 = data.astype(np.float64)
+        y1 = scipy.signal.lfilter(h1, [1.0], x64, axis=1)
+        y2 = scipy.signal.lfilter(h2, [1.0], x64, axis=1)
+        s = SWITCH * CHUNK
+        oracle = np.concatenate([y1[:, :s], y2[:, s:]], axis=1)
+        snr = snr_db(oracle, out)
+        assert snr > 100, f"host {pid}: SNR {snr:.1f} dB"
+        print(f"stream_batched proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
+    if mode == "abort_batched":
+        # first-error-wins under batched dispatch: host 1 fails mid-window;
+        # its exit padding (single-block no-ops) must complete host 0's
+        # in-flight scanned chunks up to the aligned round
+        fir_b = parallel.sharded.FIR(h1)
+        sink_b = mock.Sink()
+        pb = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=src_alloc, processors=[fir_b.processor()],
+                sink=sink_b.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=16,
+            batch_blocks=8,
+        )
+        if pid == 1:
+            fail_at[0] = 40
+        pb.start()
+        try:
+            pb.wait(600.0)
+        except Exception as e:  # noqa: BLE001
+            if pid == 1:
+                assert "injected failure" in str(e), e
+            else:
+                assert "peer" in str(e).lower(), e
+            print(f"abort_batched proc {pid} OK", flush=True)
+            return
+        raise AssertionError(f"proc {pid}: expected the run to fail")
 
     if mode == "multiline":
         # Two lines in ONE sync group (shared mutable context): the single

@@ -84,6 +84,25 @@ def test_two_host_streaming_pipe_1000_chunks():
         assert f"stream proc {pid} OK" in out
 
 
+def test_two_host_streaming_pipe_batched_dispatch():
+    """VERDICT r2 item 2: batch_blocks=8 on a multi-host pipe — 1000
+    chunks, one scanned dispatch per 8 chunks, a targeted retune splitting
+    the batch at the same chunk on both hosts, SNR > 100 dB on both."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["stream_batched"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"stream_batched proc {pid} OK" in out
+
+
+def test_two_host_batched_dispatch_abort():
+    """First-error-wins across hosts under batched dispatch: the exit
+    padding must complete the healthy host's in-flight scanned chunks."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["abort_batched"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"abort_batched proc {pid} OK" in out
+
+
 def test_two_host_first_error_wins_abort():
     """A component failure on one host aborts the whole process group via
     the aligned health rounds (first-error-wins across hosts); the healthy
