@@ -540,6 +540,7 @@ class Biquad:
         self._sos_lo = jnp.asarray(pair[1])
         self._refine = bool(refine)
         self._component = None
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
         self.context = None
 
     @staticmethod
@@ -575,9 +576,16 @@ class Biquad:
             )
             return self._component
 
+        alloc.fusion_tag = ("biquad", self)
         return alloc
 
+    @property
+    def n_sections(self) -> int:
+        return int(self._sos.shape[0])
+
     def set_sos(self, sos):
+        if self._delegate is not None:  # cascaded away by optimize.fuse
+            return self._delegate.set_part_sos(self, sos)
         pair = split_f32_pair(self._normalize(sos))
         hi = jnp.asarray(pair[0])
         lo = jnp.asarray(pair[1])

@@ -148,3 +148,235 @@ def fused_apply(hist, x, taps, hp, up: int, down: int):
 
     hc = combine_bank(taps, hp)
     return resample_apply(hist, x, hc, up, down)
+
+
+def scaled_taps(taps, gain):
+    """Gain folded into FIR taps: scalar gain scales the shared taps
+    (T mults instead of N per block); a per-channel gain broadcasts shared
+    taps to a per-channel bank. Exact — per-channel convolution commutes
+    with per-channel scaling."""
+    g = jnp.asarray(gain)
+    if g.ndim == 0:
+        return taps * g
+    if taps.ndim == 1:
+        return g[:, None] * taps[None, :]
+    return g[:, None] * taps
+
+
+def scaled_matrix(matrix, gain, side: str):
+    """Gain folded into a mix matrix: upstream gain scales COLUMNS
+    (``M @ diag(g)``), downstream gain scales ROWS (``diag(g) @ M``)."""
+    g = jnp.asarray(gain)
+    if g.ndim == 0:
+        return matrix * g
+    return matrix * (g[None, :] if side == "in" else g[:, None])
+
+
+class FIRWithGain:
+    """FIR with a folded gain (``optimize.fuse`` rewrite of an adjacent
+    Gain + FIR pair, either order — they commute per channel). Both the
+    taps and the gain stay live parameters; the effective bank is rebuilt
+    inside jit from the traced values, so retunes never recompile."""
+
+    def __init__(self, taps, gain=1.0):
+        self._taps = jnp.asarray(taps, jnp.float32)
+        self._gain = jnp.asarray(gain, jnp.float32)
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        from pipe_tpu.ops.fir import fir_block, fir_init_tail
+
+        def alloc(mctx, block_size, props: SignalProperties):
+            taps = self._taps
+            if taps.ndim == 2 and taps.shape[0] != props.channels:
+                raise ValueError(
+                    f"per-channel taps for {taps.shape[0]} channels, "
+                    f"line has {props.channels}"
+                )
+            self.context = mctx
+            T = taps.shape[-1]
+
+            def step(state, params, sig: Signal):
+                hc = scaled_taps(params["taps"], params["gain"])
+                new_tail, y = fir_block(
+                    state["tail"], sig.data, sig.frames, hc
+                )
+                return {"tail": new_tail}, sig.with_data(y)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state={"tail": fir_init_tail(props.channels, T)},
+                params={"taps": taps, "gain": self._gain},
+            )
+            return self._component
+
+        return alloc
+
+    def set_taps(self, taps):
+        t = jnp.asarray(taps, jnp.float32)
+
+        def fn():
+            self._component.set_param("taps", t)
+
+        return self.context.mutate(fn)
+
+    def set_gain(self, gain):
+        g = jnp.asarray(gain, jnp.float32)
+
+        def fn():
+            self._component.set_param("gain", g)
+
+        return self.context.mutate(fn)
+
+
+class MixWithGain:
+    """Matrix mixer with a folded gain (``optimize.fuse`` rewrite of an
+    adjacent Gain + ChannelMix pair): ``side='in'`` folds an upstream gain
+    into the matrix columns, ``side='out'`` a downstream gain into the
+    rows. Matrix and gain stay independent live parameters."""
+
+    def __init__(self, matrix, gain=1.0, side: str = "in"):
+        if side not in ("in", "out"):
+            raise ValueError("side must be 'in' or 'out'")
+        self._m = jnp.asarray(matrix, jnp.float32)
+        self._gain = jnp.asarray(gain, jnp.float32)
+        self.side = side
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        from pipe_tpu.ops.mix import channel_mix_block
+
+        out_channels, in_channels = self._m.shape
+        side = self.side
+
+        def alloc(mctx, block_size, props: SignalProperties):
+            if props.channels != in_channels:
+                raise ValueError(
+                    f"mix matrix expects {in_channels} input channels, "
+                    f"line has {props.channels}"
+                )
+            self.context = mctx
+
+            def step(state, params, sig: Signal):
+                m = scaled_matrix(params["matrix"], params["gain"], side)
+                return state, Signal(
+                    channel_mix_block(sig.data, m), sig.frames
+                )
+
+            self._component = Processor(
+                output=SignalProperties(
+                    sample_rate=props.sample_rate, channels=out_channels
+                ),
+                step=step,
+                state={},
+                params={"matrix": self._m, "gain": self._gain},
+            )
+            return self._component
+
+        return alloc
+
+    def set_matrix(self, matrix):
+        m = jnp.asarray(matrix, jnp.float32)
+
+        def fn():
+            self._component.set_param("matrix", m)
+
+        return self.context.mutate(fn)
+
+    def set_gain(self, gain):
+        g = jnp.asarray(gain, jnp.float32)
+
+        def fn():
+            self._component.set_param("gain", g)
+
+        return self.context.mutate(fn)
+
+
+class BiquadCascade:
+    """A run of adjacent Biquad processors collapsed into ONE cascade
+    component (``optimize.fuse`` rewrite): one ``biquad_block`` call over
+    the stacked SOS rows instead of a separate component per filter. Each
+    original ``Biquad`` object keeps mutating its own rows through
+    :meth:`set_part_sos` (installed as its delegate)."""
+
+    def __init__(self, parts):
+        """``parts``: the original ``ops.Biquad`` objects, in line order.
+        They must agree on ``refine`` and ``precision`` (checked by the
+        fuse rule)."""
+        from pipe_tpu.ops.biquad import split_f32_pair
+
+        self._parts = list(parts)
+        self._rows = {}  # id(part) -> (start, count)
+        sos64 = []
+        start = 0
+        for part in self._parts:
+            n = part.n_sections
+            self._rows[id(part)] = (start, n)
+            sos64.append(part._sos64)
+            start += n
+        combined = np.vstack(sos64)
+        pair = split_f32_pair(combined)
+        self._sos = jnp.asarray(pair[0])
+        self._sos_lo = jnp.asarray(pair[1])
+        self._refine = self._parts[0]._refine
+        self._extended = self._parts[0]._extended
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        from pipe_tpu.ops.biquad import biquad_block, biquad_init_state
+
+        refine, extended = self._refine, self._extended
+        S = self._sos.shape[0]
+
+        def alloc(mctx, block_size, props: SignalProperties):
+            self.context = mctx
+
+            def step(state, params, sig: Signal):
+                new_state, y = biquad_block(
+                    state, sig.data, sig.frames, params["sos"],
+                    refine=refine,
+                    sections_lo=params["sos_lo"] if extended else None,
+                )
+                return new_state, sig.with_data(y)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state=biquad_init_state(props.channels, S, extended=extended),
+                params={"sos": self._sos, "sos_lo": self._sos_lo},
+            )
+            return self._component
+
+        return alloc
+
+    def set_part_sos(self, part, sos):
+        """Mutation updating only ``part``'s rows of the combined SOS
+        (the delegate target for a fused-away ``Biquad.set_sos``)."""
+        from pipe_tpu.ops.biquad import Biquad, split_f32_pair
+
+        start, count = self._rows[id(part)]
+        sos64 = Biquad._normalize(sos)
+        if sos64.shape[0] != count:
+            raise ValueError(
+                f"fused biquad expects {count} section(s) for this part, "
+                f"got {sos64.shape[0]}"
+            )
+        pair = split_f32_pair(sos64)
+        hi = jnp.asarray(pair[0])
+        lo = jnp.asarray(pair[1])
+
+        def fn():
+            cur = self._component.get_param("sos")
+            cur_lo = self._component.get_param("sos_lo")
+            self._component.set_param(
+                "sos", cur.at[start : start + count].set(hi)
+            )
+            self._component.set_param(
+                "sos_lo", cur_lo.at[start : start + count].set(lo)
+            )
+
+        return self.context.mutate(fn)

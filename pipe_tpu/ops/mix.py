@@ -36,6 +36,7 @@ class ChannelMix:
         if self._init_matrix.ndim != 2:
             raise ValueError("mix matrix must be 2D (out_channels, in_channels)")
         self._component = None
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
         self.context = None
 
     def processor(self):
@@ -65,9 +66,12 @@ class ChannelMix:
             )
             return self._component
 
+        alloc.fusion_tag = ("mix", self)
         return alloc
 
     def set_matrix(self, matrix):
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_matrix(matrix)
         m = jnp.asarray(matrix, jnp.float32)
 
         def fn():

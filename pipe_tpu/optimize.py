@@ -4,85 +4,224 @@ The builder composes stage step-functions into one jitted block-step, so
 XLA already fuses elementwise work. This module handles *algebraic* fusion
 XLA cannot see: adjacent stages that are mathematically one operator.
 
-Currently: FIR -> Resampler collapses into a single combined polyphase
-bank (``pipe_tpu.ops.fused``, exact identity; one fewer stage, one fewer
-HBM round trip, one fused sharding halo).
+Rewrites (streaming AND sharded backends):
+
+- **FIR + Resampler** -> one combined polyphase bank
+  (``pipe_tpu.ops.fused.FIRResampler`` / ``parallel.sharded.FIRResample``):
+  exact identity, one fewer stage, one HBM round trip and one sharding
+  halo saved.
+- **Biquad cascade**: a run of adjacent Biquads (matching ``refine`` /
+  ``precision``) collapses into ONE multi-section cascade component
+  (``ops.fused.BiquadCascade`` / ``sharded.BiquadCascade``) — one
+  ``biquad_block`` sweep over stacked SOS rows instead of a component per
+  filter.
+- **Gain folding**: a Gain adjacent to a FIR folds into the taps
+  (``taps * g`` — T mults instead of an N-sample pass; exact, since
+  per-channel convolution commutes with per-channel scaling); a Gain
+  adjacent to a ChannelMix/Mix folds into the matrix (columns for an
+  upstream gain, rows for a downstream one).
 
 Usage::
 
     line = pipe_tpu.Line(source=..., processors=pipe_tpu.Processors(
         fir.processor(), rs.processor(), gain.processor()), sink=...)
-    line = pipe_tpu.optimize.fuse(line)     # FIR+Resampler -> one stage
+    line = pipe_tpu.optimize.fuse(line)
     pipe_tpu.run(block, line)
 
-Mutations keep working through the ORIGINAL factory objects: fusion
-installs a delegate, so ``fir.set_taps(...)`` after ``fuse()`` routes to
-the fused component's taps parameter.
+Mutations keep working through the ORIGINAL factory objects: every
+rewrite installs a delegate, so e.g. ``fir.set_taps(...)``,
+``gain.set_gain(...)``, or ``eq.set_sos(...)`` after ``fuse()`` routes to
+the fused component's parameters — all retrace-free (the fused steps
+rebuild their effective coefficients inside jit from the traced values).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 from pipe_tpu.graph import Line
 
 
+def _tag(proc):
+    return getattr(proc, "fusion_tag", None)
+
+
+def _is_sharded(obj) -> bool:
+    from pipe_tpu.parallel.components import ShardedOp
+
+    return isinstance(obj, ShardedOp)
+
+
+def _fuse_biquad_run(procs: List, i: int) -> Optional[tuple]:
+    """A maximal run of >=2 adjacent same-backend biquads with matching
+    refine/precision -> one cascade."""
+    t = _tag(procs[i])
+    if t is None or t[0] != "biquad":
+        return None
+    first = t[1]
+    backend = _is_sharded(first)
+    run = [first]
+    j = i + 1
+    while j < len(procs):
+        tj = _tag(procs[j])
+        if tj is None or tj[0] != "biquad":
+            break
+        obj = tj[1]
+        if _is_sharded(obj) != backend:
+            break
+        if (
+            getattr(obj, "_refine", True) != getattr(first, "_refine", True)
+            or getattr(obj, "_precision", getattr(obj, "_extended", None))
+            != getattr(first, "_precision", getattr(first, "_extended", None))
+        ):
+            break
+        run.append(obj)
+        j += 1
+    if len(run) < 2:
+        return None
+    if backend:
+        from pipe_tpu.parallel import sharded
+
+        fused = sharded.BiquadCascade(run)
+    else:
+        from pipe_tpu.ops.fused import BiquadCascade
+
+        if any(p._extended != first._extended for p in run):
+            return None
+        fused = BiquadCascade(run)
+    for p in run:
+        p._delegate = fused
+    return fused, j - i
+
+
+def _fuse_fir_resample(procs: List, i: int) -> Optional[tuple]:
+    if i + 1 >= len(procs):
+        return None
+    ta, tb = _tag(procs[i]), _tag(procs[i + 1])
+    if ta is None or tb is None or ta[0] != "fir" or tb[0] != "resample":
+        return None
+    fir_obj, rs_obj = ta[1], tb[1]
+    if _is_sharded(fir_obj) != _is_sharded(rs_obj):
+        return None
+    if _is_sharded(fir_obj):
+        from pipe_tpu.parallel import sharded
+
+        if fir_obj._taps.ndim != 1:
+            return None
+        fused = sharded.FIRResample(fir_obj._taps, *rs_obj._args)
+        fir_obj._delegate = fused
+        return fused, 2
+    from pipe_tpu.ops.fused import FIRResampler
+
+    if fir_obj._init_taps.ndim != 1:
+        return None
+    fused = FIRResampler(
+        fir_obj._init_taps,
+        rs_obj.up,
+        rs_obj.down,
+        taps_per_phase=rs_obj.taps_per_phase,
+    )
+    fir_obj._delegate = fused
+    rs_obj._delegate = fused
+    return fused, 2
+
+
+def _gain_value(gain_obj):
+    return (
+        gain_obj._gain if _is_sharded(gain_obj) else gain_obj._init_gain
+    )
+
+
+def _fir_taps(fir_obj):
+    return fir_obj._taps if _is_sharded(fir_obj) else fir_obj._init_taps
+
+
+def _fuse_gain_fir(procs: List, i: int) -> Optional[tuple]:
+    """(gain, fir) or (fir, gain) -> FIR with folded gain (they commute
+    per channel)."""
+    if i + 1 >= len(procs):
+        return None
+    ta, tb = _tag(procs[i]), _tag(procs[i + 1])
+    if ta is None or tb is None:
+        return None
+    kinds = (ta[0], tb[0])
+    if kinds == ("gain", "fir"):
+        gain_obj, fir_obj = ta[1], tb[1]
+    elif kinds == ("fir", "gain"):
+        fir_obj, gain_obj = ta[1], tb[1]
+    else:
+        return None
+    if _is_sharded(gain_obj) != _is_sharded(fir_obj):
+        return None
+    if _is_sharded(gain_obj):
+        from pipe_tpu.parallel import sharded
+
+        fused = sharded.FIRGain(_fir_taps(fir_obj), _gain_value(gain_obj))
+    else:
+        from pipe_tpu.ops.fused import FIRWithGain
+
+        fused = FIRWithGain(_fir_taps(fir_obj), _gain_value(gain_obj))
+    gain_obj._delegate = fused
+    fir_obj._delegate = fused
+    return fused, 2
+
+
+def _fuse_gain_mix(procs: List, i: int) -> Optional[tuple]:
+    """(gain, mix) folds into the matrix columns; (mix, gain) into the
+    rows."""
+    if i + 1 >= len(procs):
+        return None
+    ta, tb = _tag(procs[i]), _tag(procs[i + 1])
+    if ta is None or tb is None:
+        return None
+    kinds = (ta[0], tb[0])
+    if kinds == ("gain", "mix"):
+        gain_obj, mix_obj, side = ta[1], tb[1], "in"
+    elif kinds == ("mix", "gain"):
+        mix_obj, gain_obj, side = ta[1], tb[1], "out"
+    else:
+        return None
+    if _is_sharded(gain_obj) != _is_sharded(mix_obj):
+        return None
+    if _is_sharded(gain_obj):
+        from pipe_tpu.parallel import sharded
+
+        fused = sharded.MixGain(mix_obj._m, _gain_value(gain_obj), side)
+    else:
+        from pipe_tpu.ops.fused import MixWithGain
+
+        fused = MixWithGain(
+            mix_obj._init_matrix, _gain_value(gain_obj), side
+        )
+    gain_obj._delegate = fused
+    mix_obj._delegate = fused
+    return fused, 2
+
+
+_RULES = (_fuse_biquad_run, _fuse_fir_resample, _fuse_gain_fir, _fuse_gain_mix)
+
+
+def _fuse_pass(procs: List) -> Optional[List]:
+    for i in range(len(procs)):
+        for rule in _RULES:
+            hit = rule(procs, i)
+            if hit is not None:
+                fused, consumed = hit
+                return procs[:i] + [fused.processor()] + procs[i + consumed :]
+    return None
+
+
 def fuse(line: Line) -> Line:
-    """Return a Line with adjacent fusible processor pairs collapsed.
+    """Return a Line with every applicable rewrite applied (to fixpoint).
 
     Processor allocators advertise fusibility via a ``fusion_tag``
     attribute (set by the op factories); unknown allocators pass through
-    untouched. Currently fuses ``('fir', f)`` followed by
-    ``('resample', r)`` when the FIR has shared (1-D) taps.
-    """
-    from pipe_tpu.ops.fused import FIRResampler
-    from pipe_tpu.parallel import sharded
-
-    def _fuse_pair(fir_obj, rs_obj):
-        if isinstance(fir_obj, sharded.FIR):
-            # sharded pair -> sharded fused stage (one halo, one matmul)
-            if fir_obj._taps.ndim != 1:
-                return None
-            fused = sharded.FIRResample(
-                fir_obj._taps, *rs_obj._args
-            )
-            fir_obj._delegate = fused
-            return fused
-        if fir_obj._init_taps.ndim != 1:
-            return None
-        fused = FIRResampler(
-            fir_obj._init_taps,
-            rs_obj.up,
-            rs_obj.down,
-            taps_per_phase=rs_obj.taps_per_phase,
-        )
-        # route future set_taps / set_bank pushes through the fused stage
-        fir_obj._delegate = fused
-        rs_obj._delegate = fused
-        return fused
-
+    untouched. Rules only fire when both parties are on the same backend
+    (streaming or sharded)."""
     procs: List = list(line.processors)
-    out: List = []
-    i = 0
-    while i < len(procs):
-        a = procs[i]
-        b = procs[i + 1] if i + 1 < len(procs) else None
-        ta = getattr(a, "fusion_tag", None)
-        tb = getattr(b, "fusion_tag", None)
-        fused = None
-        if (
-            ta is not None
-            and tb is not None
-            and ta[0] == "fir"
-            and tb[0] == "resample"
-            and isinstance(ta[1], sharded.FIR) == isinstance(tb[1], sharded.Resample)
-        ):
-            fused = _fuse_pair(ta[1], tb[1])
-        if fused is not None:
-            out.append(fused.processor())
-            i += 2
-        else:
-            out.append(a)
-            i += 1
-    return dataclasses.replace(line, processors=out)
+    while True:
+        new = _fuse_pass(procs)
+        if new is None:
+            return dataclasses.replace(line, processors=procs)
+        procs = new

@@ -1277,6 +1277,120 @@ class MixStage(Stage):
         return (), lax.psum(partial_mix, CH_AXIS)
 
 
+class FIRGainStage(FIRStage):
+    """FIR with a folded gain (the sharded twin of
+    ``ops.fused.FIRWithGain``): the effective bank ``taps * gain`` is
+    rebuilt inside the step from the traced params, so both retunes stay
+    recompile-free and the gain costs T mults instead of an N-sample
+    elementwise pass."""
+
+    def __init__(self, taps, gain=1.0):
+        super().__init__(taps)
+        self._gain = jnp.asarray(gain, jnp.float32)
+
+    def build(self, c_global, c_local, n_local):
+        if self._gain.ndim == 1 and self._gain.shape[0] != c_global:
+            raise ValueError(
+                f"per-channel gain for {self._gain.shape[0]} channels, "
+                f"chain has {c_global}"
+            )
+        super().build(c_global, c_local, n_local)
+        self.params["gain"] = self._gain
+        self.param_spec["gain"] = P() if self._gain.ndim == 0 else P(CH_AXIS)
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.fused import scaled_taps
+
+        hc = scaled_taps(params["taps"], params["gain"])
+        return super().apply(carry, {"taps": hc}, x)
+
+
+class MixGainStage(MixStage):
+    """Mix with a folded gain (sharded twin of ``ops.fused.MixWithGain``):
+    ``side='in'`` scales columns (upstream gain), ``side='out'`` rows."""
+
+    def __init__(self, matrix, gain=1.0, side: str = "in"):
+        if side not in ("in", "out"):
+            raise ValueError("side must be 'in' or 'out'")
+        super().__init__(matrix)
+        self._gain = jnp.asarray(gain, jnp.float32)
+        self.side = side
+
+    def build(self, c_global, c_local, n_local):
+        super().build(c_global, c_local, n_local)
+        self.params["gain"] = self._gain
+        # an 'in'-side vector gain shards with the matrix columns; an
+        # 'out'-side one is replicated like the output channels
+        if self._gain.ndim == 0:
+            self.param_spec["gain"] = P()
+        else:
+            self.param_spec["gain"] = (
+                P(CH_AXIS) if self.side == "in" else P()
+            )
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.fused import scaled_matrix
+
+        m = scaled_matrix(params["m"], params["gain"], self.side)
+        return super().apply(carry, {"m": m}, x)
+
+
+class BiquadCascadeStage(Stage):
+    """A run of biquad sections as ONE sharded stage (the sharded twin of
+    ``ops.fused.BiquadCascade``): stacked SOS rows applied in sequence
+    inside a single stage, one carry pytree, per-row live retunes."""
+
+    def __init__(self, sos, refine: bool = True, precision: str | None = None):
+        from pipe_tpu.ops.biquad import split_f32_pair
+
+        sos = np.asarray(sos, np.float64)
+        if sos.ndim == 1:
+            sos = sos[None, :]
+        if sos.shape[-1] != 6:
+            raise ValueError("sos rows must be [b0 b1 b2 a0 a1 a2]")
+        if precision not in (None, "extended"):
+            raise ValueError("precision must be None or 'extended'")
+        pair = split_f32_pair(sos / sos[:, 3:4])
+        self._sos = jnp.asarray(pair[0])
+        self._sos_lo = jnp.asarray(pair[1])
+        self._row = BiquadStage(
+            np.array([1.0, 0, 0, 1.0, 0, 0]), refine=refine,
+            precision=precision,
+        )
+        self._extended = precision == "extended"
+
+    @property
+    def n_sections(self) -> int:
+        return int(self._sos.shape[0])
+
+    def build(self, c_global, c_local, n_local):
+        S = self._sos.shape[0]
+        z = lambda: jnp.zeros((S, c_global, 2), jnp.float32)
+        self.carry = {"x_tail": z(), "s": z()}
+        self.carry_spec = {
+            "x_tail": P(None, CH_AXIS, None), "s": P(None, CH_AXIS, None),
+        }
+        if self._extended:
+            self.carry["s_lo"] = z()
+            self.carry_spec["s_lo"] = P(None, CH_AXIS, None)
+        self.params = {"sos": self._sos, "sos_lo": self._sos_lo}
+        self.param_spec = {"sos": P(), "sos_lo": P()}
+        self.out_c_global, self.out_c_local, self.out_n_local = (
+            c_global, c_local, n_local,
+        )
+
+    def apply(self, carry, params, x):
+        S = self._sos.shape[0]
+        new = {k: [] for k in carry}
+        for i in range(S):
+            rc = {k: carry[k][i] for k in carry}
+            rp = {"sos": params["sos"][i], "sos_lo": params["sos_lo"][i]}
+            nc, x = self._row.apply(rc, rp, x)
+            for k in new:
+                new[k].append(nc[k])
+        return {k: jnp.stack(v) for k, v in new.items()}, x
+
+
 class ShardedChain:
     """Compose stages into one shard_map'ed, jitted chunk step with carried
     stream state.

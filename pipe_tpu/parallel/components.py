@@ -123,14 +123,19 @@ class Gain(ShardedOp):
     """Elementwise gain; scalar or per-channel vector (sharded with the
     channel rows)."""
 
+    fusion_kind = "gain"
+
     def __init__(self, gain=1.0):
         super().__init__()
         self._gain = gain
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
 
     def _make_stage(self, props):
         return _chain.GainStage(self._gain)
 
     def set_gain(self, gain) -> mutable.Mutation:
+        if self._delegate is not None:  # folded away by optimize.fuse
+            return self._delegate.set_gain(gain)
         return self._set_params(gain=jnp.asarray(gain, jnp.float32))
 
 
@@ -247,15 +252,24 @@ class Biquad(ShardedOp):
     via the mesh-wide associative scan. ``precision='extended'`` selects
     the double-f32 engine (``chain.BiquadStage``)."""
 
-    def __init__(self, sos_row, precision: str | None = None):
+    fusion_kind = "biquad"
+
+    def __init__(self, sos_row, precision: str | None = None,
+                 refine: bool = True):
         super().__init__()
         self._sos = np.asarray(sos_row)
         self._precision = precision
+        self._refine = bool(refine)
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
 
     def _make_stage(self, props):
-        return _chain.BiquadStage(self._sos, precision=self._precision)
+        return _chain.BiquadStage(
+            self._sos, refine=self._refine, precision=self._precision
+        )
 
     def set_sos(self, sos_row) -> mutable.Mutation:
+        if self._delegate is not None:  # cascaded away by optimize.fuse
+            return self._delegate.set_part_sos(self, sos_row)
         from pipe_tpu.ops.biquad import split_f32_pair
 
         sos = np.asarray(sos_row, np.float64).reshape(-1)
@@ -332,9 +346,12 @@ class Mix(ShardedOp):
     axis — the merged mixer sink of BASELINE config 5. Output channels are
     replicated over the channel axis; must be the last processor."""
 
+    fusion_kind = "mix"
+
     def __init__(self, matrix):
         super().__init__()
         self._m = np.asarray(matrix)
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
 
     def _make_stage(self, props):
         return _chain.MixStage(self._m)
@@ -345,12 +362,98 @@ class Mix(ShardedOp):
         )
 
     def set_matrix(self, matrix) -> mutable.Mutation:
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_matrix(matrix)
         new = jnp.asarray(matrix, jnp.float32)
         if new.shape != self._m.shape:
             raise ValueError(
                 f"mix matrix shape {new.shape} != allocated {self._m.shape}"
             )
         return self._set_params(m=new)
+
+
+class FIRGain(ShardedOp):
+    """Fused sharded FIR with a folded gain (``optimize.fuse`` rewrite of
+    an adjacent Gain + FIR pair). Both stay live parameters."""
+
+    def __init__(self, taps, gain=1.0):
+        super().__init__()
+        self._taps = np.asarray(taps)
+        self._gain = gain
+
+    def _make_stage(self, props):
+        return _chain.FIRGainStage(self._taps, self._gain)
+
+    def set_taps(self, taps) -> mutable.Mutation:
+        return self._set_params(taps=jnp.asarray(taps, jnp.float32))
+
+    def set_gain(self, gain) -> mutable.Mutation:
+        return self._set_params(gain=jnp.asarray(gain, jnp.float32))
+
+
+class MixGain(ShardedOp):
+    """Fused sharded mix with a folded gain (``side='in'`` scales columns,
+    ``side='out'`` rows)."""
+
+    def __init__(self, matrix, gain=1.0, side: str = "in"):
+        super().__init__()
+        self._m = np.asarray(matrix)
+        self._gain = gain
+        self._side = side
+
+    def _make_stage(self, props):
+        return _chain.MixGainStage(self._m, self._gain, self._side)
+
+    def _out_props(self, props, stage):
+        return SignalProperties(
+            sample_rate=props.sample_rate, channels=self._m.shape[0]
+        )
+
+    def set_matrix(self, matrix) -> mutable.Mutation:
+        return self._set_params(m=jnp.asarray(matrix, jnp.float32))
+
+    def set_gain(self, gain) -> mutable.Mutation:
+        return self._set_params(gain=jnp.asarray(gain, jnp.float32))
+
+
+class BiquadCascade(ShardedOp):
+    """A run of adjacent sharded Biquads collapsed into ONE cascade stage
+    (``optimize.fuse`` rewrite). Each original ``Biquad`` keeps mutating
+    its own row via :meth:`set_part_sos` (installed as its delegate)."""
+
+    def __init__(self, parts):
+        super().__init__()
+        self._parts = list(parts)
+        self._rows = {id(p): i for i, p in enumerate(self._parts)}
+        self._sos = np.vstack(
+            [np.asarray(p._sos, np.float64).reshape(1, 6) for p in self._parts]
+        )
+        self._precision = self._parts[0]._precision
+        self._refine = self._parts[0]._refine
+
+    def _make_stage(self, props):
+        return _chain.BiquadCascadeStage(
+            self._sos, refine=self._refine, precision=self._precision
+        )
+
+    def set_part_sos(self, part, sos_row) -> mutable.Mutation:
+        from pipe_tpu.ops.biquad import split_f32_pair
+
+        i = self._rows[id(part)]
+        sos = np.asarray(sos_row, np.float64).reshape(-1)
+        if sos.shape[0] != 6:
+            raise ValueError("set_sos takes one SOS row")
+        pair = split_f32_pair(sos / sos[3])
+        hi = jnp.asarray(pair[0])
+        lo = jnp.asarray(pair[1])
+
+        def fn():
+            cur = self._component.get_param("sos")
+            cur_lo = self._component.get_param("sos_lo")
+            self._component.set_param("sos", cur.at[i].set(hi))
+            self._component.set_param("sos_lo", cur_lo.at[i].set(lo))
+
+        return self.context.mutate(fn)
 
 
 class Delay(ShardedOp):

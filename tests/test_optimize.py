@@ -1,0 +1,261 @@
+"""optimize.fuse rewrites beyond FIR+Resample (VERDICT r2 item 8):
+biquad-cascade fusion and gain folding, streaming and sharded, with
+delegate mutation routing and the zero-recompile-retune guarantee."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+import jax
+import jax.numpy as jnp
+
+import pipe_tpu
+import pipe_tpu.optimize as optimize
+from pipe_tpu import mock, ops, parallel
+from pipe_tpu.graph import Line as _Line
+from pipe_tpu.signal import Signal, SignalProperties, snr_db
+
+from tests.test_ops import stream_through
+
+
+def _count(procs):
+    return len(procs)
+
+
+# -- streaming: biquad cascade ------------------------------------------------
+
+
+def test_fuse_biquad_run_streaming_parity_and_routing(rng):
+    """Three adjacent Biquads collapse into ONE cascade; output matches the
+    unfused line; set_sos on each ORIGINAL object mutates its own rows."""
+    C, N, block = 2, 8192, 512
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    rows = [
+        ops.design_peaking_eq(44100, freq=f, q=q, gain_db=g)
+        for f, q, g in ((500, 1.0, 3.0), (2000, 2.0, -4.0), (7000, 0.7, 2.0))
+    ]
+    eqs = [ops.Biquad(r) for r in rows]
+    line = _Line(source=None, sink=None,
+                 processors=[e.processor() for e in eqs])
+    fused_line = optimize.fuse(line)
+    assert _count(fused_line.processors) == 1
+    y_fused = stream_through(fused_line.processors, x, block)
+
+    eqs_ref = [ops.Biquad(r) for r in rows]
+    y_seq = stream_through([e.processor() for e in eqs_ref], x, block)
+    assert snr_db(y_seq.astype(np.float64), y_fused) > 110
+
+    # routing: the MIDDLE original object's set_sos updates only its row
+    new_row = ops.design_peaking_eq(44100, freq=2000, q=2.0, gain_db=0.0)
+    m = eqs[1].set_sos(new_row)
+    m.apply()
+    comp = eqs[1]._delegate._component
+    sos_now = np.asarray(comp.get_param("sos"))
+    assert np.allclose(sos_now[1], (new_row / new_row[3]).astype(np.float32))
+    assert np.allclose(
+        sos_now[0], (rows[0] / rows[0][3]).astype(np.float32)
+    )
+
+
+def test_fuse_biquad_cascade_no_retrace(rng):
+    """A per-part set_sos retune on the fused cascade does not retrace."""
+    from pipe_tpu import mutable
+
+    C, block = 1, 512
+    rows = [
+        ops.design_peaking_eq(44100, freq=500, q=1.0, gain_db=3.0),
+        ops.design_peaking_eq(44100, freq=3000, q=1.0, gain_db=-3.0),
+    ]
+    eqs = [ops.Biquad(r) for r in rows]
+    line = optimize.fuse(
+        _Line(source=None, sink=None, processors=[e.processor() for e in eqs])
+    )
+    comp = line.processors[0](mutable.mutable(), block, SignalProperties(44100.0, C))
+
+    traces = [0]
+    base = comp.step
+
+    def counting(state, params, sig):
+        traces[0] += 1
+        return base(state, params, sig)
+
+    step = jax.jit(counting)
+    sig = Signal(jnp.ones((C, block), jnp.float32), jnp.asarray(block, jnp.int32))
+    st, y1 = step(comp.state, comp.params, sig)
+    n = traces[0]
+    eqs[0].set_sos(
+        ops.design_peaking_eq(44100, freq=500, q=1.0, gain_db=-6.0)
+    ).apply()
+    st, y2 = step(st, comp.params, sig)
+    assert traces[0] == n
+    assert not np.allclose(np.asarray(y1.data), np.asarray(y2.data))
+
+
+def test_fuse_biquad_mismatched_precision_not_fused():
+    eq1 = ops.Biquad(ops.design_peaking_eq(44100, 500, 1.0, 3.0))
+    eq2 = ops.Biquad(
+        ops.design_peaking_eq(44100, 900, 1.0, 3.0), precision="extended"
+    )
+    line = optimize.fuse(_Line(
+        source=None, sink=None,
+        processors=[eq1.processor(), eq2.processor()],
+    ))
+    assert _count(line.processors) == 2
+
+
+# -- streaming: gain folding --------------------------------------------------
+
+
+def test_fuse_gain_into_fir_both_orders(rng):
+    C, N, block = 2, 4096, 512
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(63, 4000.0, 44100.0))
+    oracle = 0.5 * scipy.signal.lfilter(h, [1.0], x.astype(np.float64), axis=1)
+
+    for order in ("gf", "fg"):
+        g = ops.Gain(0.5)
+        f = ops.FIR(h)
+        procs = (
+            [g.processor(), f.processor()]
+            if order == "gf"
+            else [f.processor(), g.processor()]
+        )
+        line = optimize.fuse(_Line(source=None, sink=None, processors=procs))
+        assert _count(line.processors) == 1
+        y = stream_through(line.processors, x, block)
+        assert snr_db(oracle, y) > 120
+
+        # both retunes route through the fused component
+        assert g._delegate is not None and f._delegate is not None
+
+
+def test_fuse_gain_fir_live_retune_routing(rng):
+    """set_gain on the ORIGINAL Gain after fusion lands mid-stream at a
+    block boundary without recompiling."""
+    g = ops.Gain(1.0)
+    f = ops.FIR(np.asarray([1.0, 0.0, 0.0], np.float32))  # identity-ish FIR
+    src = mock.Source(channels=1, value=1.0, interval=0.005)
+    sink = mock.Sink()
+    line = optimize.fuse(pipe_tpu.Line(
+        source=src.source(),
+        processors=[g.processor(), f.processor()],
+        sink=sink.sink(),
+    ))
+    assert len(line.processors) == 1
+    p = pipe_tpu.Pipe(256, line)
+    p.start()
+    import time
+
+    while sink.samples < 256:
+        time.sleep(0.005)
+    le = p._exec_of_route[0]
+    compiled = le.compile_counts()
+    p.push(g.set_gain(2.0))
+    while sink.samples < 256 * 8:
+        time.sleep(0.005)
+    p.stop(60)
+    assert le.compile_counts() == compiled  # zero recompiles on retune
+    v = sink.values[0]
+    sw = np.where(np.diff(v) != 0)[0]
+    assert len(sw) == 1 and (sw[0] + 1) % 256 == 0
+    assert v[-1] == 2.0
+
+
+def test_fuse_gain_into_mix_both_sides(rng):
+    C, N, block = 4, 2048, 256
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    m = rng.standard_normal((2, C)).astype(np.float32)
+    gv = np.asarray([0.5, 1.5, 1.0, 2.0], np.float32)  # per-channel, C_in
+
+    # upstream per-channel gain -> column scaling
+    g = ops.Gain(gv)
+    mx = ops.ChannelMix(m)
+    line = optimize.fuse(_Line(
+        source=None, sink=None, processors=[g.processor(), mx.processor()]
+    ))
+    assert _count(line.processors) == 1
+    y = stream_through(line.processors, x, block)
+    oracle = (m.astype(np.float64) * gv.astype(np.float64)[None, :]) @ x.astype(np.float64)
+    assert snr_db(oracle, y) > 120
+
+    # downstream scalar gain -> row scaling
+    g2 = ops.Gain(0.25)
+    mx2 = ops.ChannelMix(m)
+    line2 = optimize.fuse(_Line(
+        source=None, sink=None, processors=[mx2.processor(), g2.processor()]
+    ))
+    assert _count(line2.processors) == 1
+    y2 = stream_through(line2.processors, x, block)
+    assert snr_db(0.25 * m.astype(np.float64) @ x.astype(np.float64), y2) > 120
+    # mutation routing after fusion
+    assert g2._delegate is not None and mx2._delegate is not None
+    g2.set_gain(1.0)
+    mx2.set_matrix(m)
+
+
+# -- sharded twins ------------------------------------------------------------
+
+pytestmark_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytestmark_mesh
+def test_fuse_sharded_biquad_cascade_and_gain_fir(rng):
+    """Sharded fusion behind the mesh Pipe API: a biquad run collapses to
+    one cascade stage and a gain folds into the sharded FIR; parity vs the
+    float64 oracle; targeted per-part retune lands exactly."""
+    from tests.test_mesh_pipe import feed_source, run_pipe
+
+    C, BLOCK = 2, 4096
+    mesh = parallel.make_mesh(1, 4)
+    x = rng.standard_normal((C, BLOCK * 3)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(63, 4000.0, 44100.0))
+    r1 = ops.design_peaking_eq(44100, freq=800, q=1.0, gain_db=4.0)
+    r2 = ops.design_peaking_eq(44100, freq=3000, q=1.5, gain_db=-3.0)
+
+    g = parallel.sharded.Gain(0.5)
+    f = parallel.sharded.FIR(h)
+    b1 = parallel.sharded.Biquad(r1)
+    b2 = parallel.sharded.Biquad(r2)
+    sink = mock.Sink()
+    line = optimize.fuse(pipe_tpu.Line(
+        source=feed_source(x, C),
+        processors=[
+            g.processor(), f.processor(), b1.processor(), b2.processor()
+        ],
+        sink=sink.sink(),
+    ))
+    # gain+fir -> 1, biquad run -> 1
+    assert len(line.processors) == 2
+    p = pipe_tpu.Pipe(BLOCK, line, mesh=mesh)
+    run_pipe(p)
+
+    y = scipy.signal.lfilter(h, [1.0], 0.5 * x.astype(np.float64), axis=1)
+    y = scipy.signal.sosfilt(np.vstack([r1, r2]), y, axis=1)
+    assert snr_db(y, sink.values) > 100
+    assert b1._delegate is not None and g._delegate is not None
+
+
+@pytestmark_mesh
+def test_fuse_sharded_mix_gain(rng):
+    from tests.test_mesh_pipe import feed_source, run_pipe
+
+    C, BLOCK = 4, 2048
+    mesh = parallel.make_mesh(2, 2)
+    x = rng.standard_normal((C, BLOCK * 2)).astype(np.float32)
+    m = rng.standard_normal((2, C)).astype(np.float32)
+
+    g = parallel.sharded.Gain(0.5)
+    mx = parallel.sharded.Mix(m)
+    sink = mock.Sink()
+    line = optimize.fuse(pipe_tpu.Line(
+        source=feed_source(x, C),
+        processors=[g.processor(), mx.processor()],
+        sink=sink.sink(),
+    ))
+    assert len(line.processors) == 1
+    p = pipe_tpu.Pipe(BLOCK, line, mesh=mesh)
+    run_pipe(p)
+    oracle = 0.5 * m.astype(np.float64) @ x.astype(np.float64)
+    assert snr_db(oracle, sink.values) > 100
