@@ -45,7 +45,12 @@ from jax import shard_map
 
 from pipe_tpu import config
 from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
-from pipe_tpu.parallel.halo import halo_from_left, last_shard, exclusive_prefix
+from pipe_tpu.parallel.halo import (
+    exclusive_prefix,
+    exclusive_prefix_ladder,
+    halo_from_left,
+    last_shard,
+)
 from pipe_tpu.ops.fir import fir_apply
 from pipe_tpu.ops.resample import resample_apply
 from pipe_tpu.ops.biquad import _affine_combine
@@ -829,6 +834,12 @@ class DelayStage(Stage):
         D = self.delay_frames
         h = -(-D // n)  # source blocks are h and h-1 hops left
         r = h * n - D  # 0 <= r < n: offset of the tap window in block g-h
+        if h == 1:
+            # one-hop case: only the left neighbor's last D samples are
+            # remote — permute exactly those (a whole-block permute would
+            # move n/D times the needed bytes)
+            left = halo_from_left(s, D, TIME_AXIS, hist)
+            return jnp.concatenate([left, s], axis=1)[:, :n]
         T = lax.axis_size(TIME_AXIS)
         g = lax.axis_index(TIME_AXIS)
 
@@ -922,7 +933,9 @@ class DelayStage(Stage):
             jnp.ones((D,), jnp.float32),
             jnp.zeros((C, D), jnp.float32),
         )
-        pre_r, pre_a, pre_b = exclusive_prefix(
+        # the transfer payload is O(C*D): the ppermute ladder moves
+        # log2(T) copies instead of the gather's T
+        pre_r, pre_a, pre_b = exclusive_prefix_ladder(
             TIME_AXIS, combine, unit, (rho_dev, a_dev, b_dev)
         )
         # entering history for this device

@@ -48,13 +48,51 @@ def last_shard(value, axis_name: str):
     return gathered[-1]
 
 
+def exclusive_prefix_ladder(axis_name: str, combine, unit, value):
+    """Exclusive prefix-combine via a Hillis–Steele ppermute ladder:
+    ``ceil(log2(T))`` rounds moving one value-tree per round, instead of
+    the all_gather's T copies — the right choice when the per-device value
+    is LARGE (the Delay feedback history transfer is O(C*D) bytes; the
+    biquad/envelope 2x2 totals are better served by
+    :func:`exclusive_prefix`).
+
+    ``combine(left, right)`` must be associative with identity ``unit``.
+    """
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+
+    def shift_right(tree, hops):
+        return jax.tree.map(
+            lambda v: lax.ppermute(
+                v, axis_name, perm=[(i, i + hops) for i in range(n - hops)]
+            ),
+            tree,
+        )
+
+    def select(pred, new, old):
+        return jax.tree.map(lambda a, b: jnp.where(pred, a, b), new, old)
+
+    if n == 1:
+        return unit
+    # seed: acc_d = v_{d-1} (unit at d=0); inclusive ladder over the seed
+    # yields the exclusive prefix
+    acc = select(idx == 0, unit, shift_right(value, 1))
+    k = 1
+    while k < n:
+        recv = shift_right(acc, k)
+        acc = select(idx >= k, combine(recv, acc), acc)
+        k *= 2
+    return acc
+
+
 def exclusive_prefix(axis_name: str, combine, unit, value):
     """Exclusive prefix-combine of per-device values over a mesh axis:
     device d receives ``combine(v_0, ..., v_{d-1})`` (``unit`` for d=0).
 
     Used to shard IIR recurrences over time: per-device scan totals are
     tiny (2x2 matrices per channel), so an all_gather + local fori_loop is
-    cheaper than a log-step ladder at these sizes.
+    cheaper than a log-step ladder at these sizes (see
+    :func:`exclusive_prefix_ladder` for the large-payload variant).
     """
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)

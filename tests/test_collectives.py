@@ -91,6 +91,24 @@ CASES = [
         32768,
         0.3,
     ),
+    # pure delay, D <= n_local: a D-sample halo + the D-tail carry gather
+    ("delay_pure_300", lambda: [par.DelayStage(300, wet=1.0)], 32768, 0.25),
+    # pure delay, D > n_local: the delay-line state is bigger than a
+    # block, and it is replicated — moving O(D) per step is inherent
+    (
+        "delay_pure_5000",
+        lambda: [par.DelayStage(5000, wet=1.0)],
+        32768,
+        3.5,
+    ),
+    # feedback delay: the rotated-affine ladder moves log2(T)=2 copies of
+    # the O(C*D) transfer per step (a gather would move T=4)
+    (
+        "delay_feedback_300",
+        lambda: [par.DelayStage(300, feedback=0.5)],
+        32768,
+        0.35,
+    ),
 ]
 
 

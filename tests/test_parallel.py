@@ -615,6 +615,40 @@ def test_delay_stage_feedback_echo_cross_device(rng):
     assert snr_db(oracle, out) > 90  # f32 feedback recursion
 
 
+def test_exclusive_prefix_ladder_matches_gather(rng):
+    """The ppermute-ladder exclusive prefix == the all_gather one on a
+    non-commutative associative op (2x2 matrix products), any axis size."""
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from pipe_tpu.parallel.halo import exclusive_prefix, exclusive_prefix_ladder
+    from pipe_tpu.parallel.mesh import TIME_AXIS
+
+    for t in (1, 2, 4, 8):
+        mesh = parallel.make_mesh(1, t)
+        vals = rng.standard_normal((t, 2, 2)).astype(np.float32)
+
+        def combine(a, b):
+            return jnp.einsum("ij,jk->ik", b, a)  # right-applied: order matters
+
+        unit = jnp.eye(2, dtype=jnp.float32)
+
+        def run(prefix_fn):
+            def body(v):
+                return prefix_fn(TIME_AXIS, combine, unit, v[0])[None]
+
+            f = shard_map(
+                body, mesh=mesh, in_specs=P(TIME_AXIS),
+                out_specs=P(TIME_AXIS), check_vma=False,
+            )
+            return np.asarray(jax.jit(f)(vals))
+
+        np.testing.assert_allclose(
+            run(exclusive_prefix), run(exclusive_prefix_ladder),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def _echo_oracle(x, D, fb, wet, dry):
     a = np.zeros(D + 1)
     a[0], a[D] = 1.0, -fb
