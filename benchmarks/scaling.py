@@ -155,6 +155,9 @@ def account_collectives():
         ("biquad_refined", [par.BiquadStage(sos)], 32768),
         ("biquad_norefine", [par.BiquadStage(sos, refine=False)], 32768),
         ("compressor", [par.CompressorStage()], 32768),
+        ("delay_pure_300", [par.DelayStage(300, wet=1.0)], 32768),
+        ("delay_pure_5000", [par.DelayStage(5000, wet=1.0)], 32768),
+        ("delay_feedback_300", [par.DelayStage(300, feedback=0.5)], 32768),
         ("spectral_gain_1024", [par.SpectralGainStage(1024, 256)], 32768),
         ("mix_psum", [par.MixStage(np.ones((2, C), np.float32) / C)], 32768),
     ]

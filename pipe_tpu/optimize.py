@@ -21,6 +21,14 @@ Rewrites (streaming AND sharded backends):
   adjacent to a ChannelMix/Mix folds into the matrix (columns for an
   upstream gain, rows for a downstream one).
 
+  Steady-state output is identical for either order. One transient
+  caveat: a LIVE ``set_gain`` on a folded ``gain -> FIR`` pair applies
+  the new gain at the OUTPUT from exactly sample ``N*block`` (the folded
+  form is ``g * (h * x)``), whereas the unfused pair would carry the old
+  gain through the filter's (T-1)-sample tail. For ``FIR -> gain``, mix
+  folding (memoryless), and the biquad cascade, retune semantics are
+  bit-for-bit those of the unfused graph.
+
 Usage::
 
     line = pipe_tpu.Line(source=..., processors=pipe_tpu.Processors(

@@ -480,6 +480,54 @@ def test_mesh_pipe_checkpoint_roundtrip(rng):
     np.testing.assert_allclose(resumed, sink_full.values, atol=2e-5)
 
 
+def test_mesh_pipe_checkpoint_r3_carries(rng):
+    """Checkpoint/restore covers the r3 carry layouts: the BIN-SHARDED
+    distributed-FDL OLS carry (P(None,None,ch,time)), the compressor's dd
+    env_lo word, and a feedback-delay history — snapshot -> restore into a
+    fresh mesh pipe resumes the exact stream."""
+    from pipe_tpu import checkpoint
+
+    C, BLOCK = 2, 4096
+    P_ir = 6000  # > n_local=1024 -> distributed FDL
+    ir = rng.standard_normal(P_ir) * np.exp(-np.arange(P_ir) / 1200.0)
+    data = (rng.standard_normal((C, BLOCK * 4)) * 0.5).astype(np.float32)
+
+    def make(data_part, sink):
+        mesh = parallel.make_mesh(1, 4)
+        ols = parallel.sharded.OLS(ir)
+        comp = parallel.sharded.Compressor(threshold_db=-12.0, ratio=3.0,
+                                           attack_ms=5.0, release_ms=80.0)
+        echo = parallel.sharded.Delay(300, feedback=0.4, wet=0.3, dry=1.0)
+        return pipe_tpu.Pipe(
+            BLOCK,
+            pipe_tpu.Line(
+                source=feed_source(data_part, C),
+                processors=[
+                    ols.processor(), comp.processor(), echo.processor()
+                ],
+                sink=sink.sink(),
+            ),
+            mesh=mesh,
+        )
+
+    sink_full = mock.Sink()
+    run_pipe(make(data, sink_full))
+
+    sink_a = mock.Sink()
+    pa = make(data[:, : 2 * BLOCK], sink_a)
+    run_pipe(pa)
+    ck = checkpoint.snapshot(pa)
+
+    sink_b = mock.Sink()
+    pb = make(data[:, 2 * BLOCK :], sink_b)
+    checkpoint.restore(pb, ck)
+    run_pipe(pb)
+
+    resumed = np.concatenate([sink_a.values, sink_b.values], axis=1)
+    assert resumed.shape == sink_full.values.shape
+    np.testing.assert_allclose(resumed, sink_full.values, atol=2e-5)
+
+
 def test_mesh_stats_recorder(rng):
     """StatsRecorder counts blocks/frames for mesh-backed lines too."""
     import pipe_tpu.profiling as profiling

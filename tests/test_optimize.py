@@ -193,6 +193,46 @@ def test_fuse_gain_into_mix_both_sides(rng):
     mx2.set_matrix(m)
 
 
+def test_fuse_gain_fir_retune_transient_contract(rng):
+    """Pins the documented retune semantics of a folded gain->FIR pair: a
+    live set_gain applies to the OUTPUT stream from exactly its landing
+    sample (g * (h*x)), not through the filter tail."""
+    BLOCK, T = 256, 33
+    h = np.asarray(ops.design_lowpass(T, 5000.0, 44100.0))
+    g = ops.Gain(1.0)
+    f = ops.FIR(h)
+    data = rng.standard_normal((1, BLOCK * 12)).astype(np.float32)
+    pos = [0]
+
+    def feed(n):
+        if pos[0] >= data.shape[1]:
+            return None
+        c = data[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    from pipe_tpu.components import Source
+
+    sink = mock.Sink()
+    line = optimize.fuse(pipe_tpu.Line(
+        source=lambda ctx, b: Source(
+            output=SignalProperties(44100.0, 1), feed=feed
+        ),
+        processors=[g.processor(), f.processor()],
+        sink=sink.sink(),
+    ))
+    p = pipe_tpu.Pipe(BLOCK, line)
+    p.start()
+    SW = 6
+    p.push(g.set_gain(2.0), at_block=SW)
+    p.wait(60)
+
+    y = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
+    gcurve = np.ones(data.shape[1])
+    gcurve[SW * BLOCK :] = 2.0
+    assert snr_db(y * gcurve, sink.values) > 110
+
+
 # -- sharded twins ------------------------------------------------------------
 
 pytestmark_mesh = pytest.mark.skipif(
