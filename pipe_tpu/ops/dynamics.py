@@ -10,10 +10,11 @@ sample loops):
   ``lax.associative_scan`` in O(log B) depth.
 - The attack smoother is a first-order linear IIR, likewise an associative
   scan over affine (a, u) pairs.
-- Delay lines are pure state slices (no recurrence); feedback echo is a
-  block-level recurrence that requires ``delay >= block_size`` so the
-  feedback tap always reads carried state (documented constraint, checked
-  at allocation).
+- Delay lines are pure state slices (no recurrence) when
+  ``delay >= block_size`` (the tap reads carried state only); shorter
+  feedback delays run the in-block recurrence as D independent
+  lane-parallel one-pole scans (compiled only when feedback is
+  structurally enabled).
 
 All tunables (times, thresholds, ratios, gains) are traced parameters —
 live mutations never recompile. Coefficients like ``exp(-1/(tau*sr))`` are
@@ -60,6 +61,17 @@ def _affine1_combine(left, right):
     a1, u1 = left
     a2, u2 = right
     return a1 * a2, a2 * u1 + u2
+
+
+def _pow_int(base, e_np):
+    """``base ** e`` for STATIC integer exponents ``e >= 0``, correct for
+    negative bases (float ``jnp.power`` returns NaN there)."""
+    mag = jnp.abs(base) ** jnp.asarray(e_np, jnp.float32)
+    sgn = jnp.where(
+        base < 0, jnp.asarray(1.0 - 2.0 * (np.asarray(e_np) % 2), jnp.float32),
+        1.0,
+    )
+    return mag * sgn
 
 
 def envelope_block(env0, x_abs, frames, release_coef, attack_oma,
@@ -158,21 +170,30 @@ def compressor_gain(env, threshold_db, ratio, makeup_db, floor=1e-8):
 
 
 class Delay:
-    """Pure delay / feedback echo processor.
+    """Pure delay / feedback echo processor, for ANY ``delay_frames``.
 
     ``delay_frames`` of delay; ``feedback`` (traced) feeds the delayed
-    OUTPUT back (classic echo; requires ``delay_frames >= block_size``);
-    ``wet``/``dry`` (traced) mix the delayed and direct paths.
+    OUTPUT back (classic echo); ``wet``/``dry`` (traced) mix the delayed
+    and direct paths.
+
+    Feedback capability is structural (mirrors the sharded twin,
+    ``parallel.chain.DelayStage``): with ``D >= block_size`` the tap reads
+    carried state only and feedback is free, so it is always enabled; for
+    ``D < block_size`` the recurrence needs a lane-parallel scan inside
+    the block, compiled only when requested — build with a nonzero
+    ``feedback`` or ``allow_feedback=True``, else ``set_feedback`` raises.
     """
 
     def __init__(self, delay_frames: int, feedback: float = 0.0,
-                 wet: float = 1.0, dry: float = 0.0):
+                 wet: float = 1.0, dry: float = 0.0,
+                 allow_feedback=None):
         if delay_frames < 1:
             raise ValueError("delay_frames must be >= 1")
         self.delay_frames = delay_frames
         self._feedback = feedback
         self._wet = wet
         self._dry = dry
+        self._allow_feedback = allow_feedback
         self._component = None
         self.context = None
 
@@ -180,36 +201,49 @@ class Delay:
         D = self.delay_frames
 
         def alloc(mctx, block_size, props: SignalProperties):
-            # Feedback needs the tap to read carried state only, which
-            # requires D >= block. When the line is long enough, feedback
-            # stays a LIVE traced parameter (mutable from 0.0); on a short
-            # line a nonzero initial feedback is rejected here and
-            # set_feedback raises (the capability is structural).
-            can_feedback = D >= block_size
-            if self._feedback != 0.0 and not can_feedback:
-                raise ValueError(
-                    f"feedback delay needs delay_frames >= block_size "
-                    f"({D} < {block_size}): the feedback tap must read "
-                    f"carried state, not the current block"
-                )
+            # D >= block: the tap reads carried state only — feedback is
+            # structurally free. D < block: the in-block recurrence scan
+            # is compiled only when feedback was requested.
+            can_feedback = (
+                D >= block_size
+                or self._feedback != 0.0
+                or bool(self._allow_feedback)
+            )
             self._can_feedback = can_feedback
             self.context = mctx
             C = props.channels
+            B = block_size
+            scan_path = can_feedback and D < B
 
             def step(state, params, sig: Signal):
                 # The delay line carries the stream s = x + fb * s[n-D]
-                # (s = x when fb == 0). The delayed tap d[n] = s[n-D] is
-                # read entirely from carried history (D >= B when feedback
-                # is possible), so no within-block recursion is needed.
-                # Output is dry * x + wet * d: pure delay at (wet=1,
-                # dry=0), classic echo at (wet, dry) of choice.
+                # (s = x without feedback). Output is dry*x + wet*s[n-D].
                 x = sig.data
-                B = x.shape[1]
                 idx = jnp.arange(B, dtype=jnp.int32)[None, :]
                 xm = jnp.where(idx < sig.frames, x, 0.0)
                 hist = state["hist"]  # (C, D): trailing D samples of s
-                delayed = jnp.concatenate([hist, xm], axis=1)[:, :B]
-                s = xm + params["feedback"] * delayed if can_feedback else xm
+                fb = params["feedback"]
+                if not scan_path:
+                    # tap entirely from history (D >= B), or pure delay
+                    delayed = jnp.concatenate([hist, xm], axis=1)[:, :B]
+                    s = xm + fb * delayed if can_feedback else xm
+                else:
+                    # in-block recurrence: D independent lanes, each a
+                    # one-pole over its own samples (the sharded stage's
+                    # mechanic, single-device: the carry IS the entering
+                    # history). Lanes beyond `frames` compute garbage that
+                    # the frames-sliced carry never reads.
+                    w = (-B) % D
+                    m = (B + w) // D
+                    rows = jnp.pad(xm, ((0, 0), (w, 0))).reshape(C, m, D)
+                    a = jnp.broadcast_to(fb, rows.shape)
+                    _, s0r = lax.associative_scan(
+                        _affine1_combine, (a, rows), axis=1
+                    )
+                    s0 = s0r.reshape(C, m * D)[:, w:]
+                    i = np.arange(B)
+                    s = s0 + _pow_int(fb, i // D + 1)[None, :] * hist[:, i % D]
+                    delayed = jnp.concatenate([hist, s[:, : B - D]], axis=1)
                 y = params["dry"] * xm + params["wet"] * delayed
                 buf = jnp.concatenate([hist, s], axis=1)
                 new_hist = lax.dynamic_slice(buf, (0, sig.frames), (C, D))
@@ -232,8 +266,9 @@ class Delay:
     def set_feedback(self, fb):
         if not getattr(self, "_can_feedback", True):
             raise ValueError(
-                "this Delay cannot do feedback: delay_frames < block_size "
-                "(the feedback tap must read carried state)"
+                "this Delay cannot do feedback: it was built pure with "
+                "delay_frames < block_size (pass feedback=... or "
+                "allow_feedback=True at construction)"
             )
         v = jnp.asarray(fb, jnp.float32)
 

@@ -900,14 +900,7 @@ class DelayStage(Stage):
         s0 = s0_rows.reshape(C, m * D)[:, w:]
 
         # 2) per-device history transfer h_out[j] = fb^e_j h_in[(j+n)%D] + b_j
-        def pow_int(base, e_np):
-            # base^e for STATIC integer exponents e >= 0, correct for
-            # negative bases (float jnp.power would return NaN there)
-            mag = jnp.abs(base) ** jnp.asarray(e_np, jnp.float32)
-            sgn = jnp.where(
-                base < 0, jnp.asarray(1.0 - 2.0 * (e_np % 2), jnp.float32), 1.0
-            )
-            return mag * sgn
+        from pipe_tpu.ops.dynamics import _pow_int as pow_int
 
         j = np.arange(D)
         p = n - D + j  # position feeding lane j (negative = untouched)

@@ -64,13 +64,38 @@ def test_feedback_echo(rng):
     assert out[3 * D] == pytest.approx(0.25)
 
 
-def test_feedback_delay_requires_long_enough_line():
-    d = ops.Delay(100, feedback=0.5)
-    from pipe_tpu import mutable
-    from pipe_tpu.signal import SignalProperties
+def test_feedback_echo_short_delay(rng):
+    """r3: feedback echo with D < block_size — the in-block recurrence
+    runs as lane-parallel one-pole scans (formerly a documented
+    structural rejection)."""
+    C, N, block, D, fb = 1, 8192, 512, 100, 0.6
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D, feedback=fb, wet=0.7, dry=0.3)
+    y = stream_through([d.processor()], x, block)
+    s = np.zeros(N)
+    out = np.zeros(N)
+    for n in range(N):
+        dtap = s[n - D] if n >= D else 0.0
+        s[n] = x[0, n] + fb * dtap
+        out[n] = 0.3 * x[0, n] + 0.7 * dtap
+    assert snr_db(out, y[0]) >= 90  # f32 feedback recursion
 
-    with pytest.raises(ValueError, match="delay_frames >= block_size"):
-        d.processor()(mutable.mutable(), 512, SignalProperties(44100.0, 1))
+
+def test_feedback_echo_short_delay_partial_final_block(rng):
+    """The short-delay recurrence carries correctly through a partial
+    final block (the EOF tail)."""
+    C, N, block, D, fb = 1, 512 * 3 + 77, 512, 130, 0.5
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D, feedback=fb)
+    y = stream_through([d.processor()], x, block)
+    s = np.zeros(N)
+    out = np.zeros(N)
+    for n in range(N):
+        dtap = s[n - D] if n >= D else 0.0
+        s[n] = x[0, n] + fb * dtap
+        out[n] = dtap
+    assert y.shape == (C, N)
+    assert snr_db(out, y[0]) >= 90
 
 
 def test_envelope_block_matches_sequential(rng):
