@@ -53,7 +53,10 @@ def main():
         return Source(output=SignalProperties(SR, 1), feed=feed)
 
     gate = ops.NoiseGate(threshold_db=-45.0, range_db=60.0)
+    # two EQ bands: optimize.fuse collapses adjacent biquads into ONE
+    # cascade component (set_sos on either object keeps working)
     eq = ops.Biquad(ops.design_peaking_eq(SR, freq=2000, q=1.0, gain_db=3.0))
+    eq_lo = ops.Biquad(ops.design_lowshelf(SR, freq=120, gain_db=1.5))
     comp = ops.Compressor(threshold_db=-14.0, ratio=4.0, attack_ms=3.0,
                           release_ms=120.0, makeup_db=2.0)
     lim = ops.Compressor(threshold_db=-3.0, ratio=np.inf, attack_ms=0.2,
@@ -61,14 +64,14 @@ def main():
     echo = ops.Delay(delay_frames=SR // 4, feedback=0.35, wet=0.25, dry=1.0)
     sink = mock.Sink()
 
-    line = pipe_tpu.Line(
+    line = pipe_tpu.optimize.fuse(pipe_tpu.Line(
         source=src_alloc,
         processors=pipe_tpu.Processors(
-            gate.processor(), eq.processor(), comp.processor(),
-            lim.processor(), echo.processor(),
+            gate.processor(), eq_lo.processor(), eq.processor(),
+            comp.processor(), lim.processor(), echo.processor(),
         ),
         sink=sink.sink(),
-    )
+    ))
     p = pipe_tpu.Pipe(BLOCK, line)
     p.start()
     time.sleep(0.4)

@@ -40,7 +40,14 @@ from pipe_tpu.ops.demod import (
     am_demod_factory,
     fm_demod_factory,
 )
-from pipe_tpu.ops.fused import FIRResampler, combine_bank, fused_apply
+from pipe_tpu.ops.fused import (
+    BiquadCascade,
+    FIRResampler,
+    FIRWithGain,
+    MixWithGain,
+    combine_bank,
+    fused_apply,
+)
 from pipe_tpu.ops.channelizer import (
     Channelizer,
     channelize_block,
@@ -93,7 +100,10 @@ __all__ = [
     "FMDiscriminator",
     "am_demod_factory",
     "fm_demod_factory",
+    "BiquadCascade",
     "FIRResampler",
+    "FIRWithGain",
+    "MixWithGain",
     "combine_bank",
     "fused_apply",
     "Channelizer",

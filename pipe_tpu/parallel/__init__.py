@@ -45,6 +45,9 @@ from pipe_tpu.parallel.chain import (
     IQMixStage,
     EnvelopeDetectorStage,
     FMDiscriminatorStage,
+    FIRGainStage,
+    MixGainStage,
+    BiquadCascadeStage,
 )
 
 __all__ = [
@@ -77,4 +80,7 @@ __all__ = [
     "IQMixStage",
     "EnvelopeDetectorStage",
     "FMDiscriminatorStage",
+    "FIRGainStage",
+    "MixGainStage",
+    "BiquadCascadeStage",
 ]

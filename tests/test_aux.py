@@ -118,11 +118,15 @@ def test_snapshot_requires_stopped_pipe():
         with pytest.raises(RuntimeError):
             checkpoint.snapshot(p)
     finally:
-        p.push(src.context.mutate(lambda: None))  # nudge
-        # force the stream to end quickly
-        src._component.update_state(
-            lambda s: {**s, "produced": np.int32(100_000 * 16)}
-        )
+        # end the stream quickly — as a MUTATION, so the state write runs
+        # on the executor thread at a block boundary (writing component
+        # state from this thread would race the donated step buffers)
+        def end():
+            src._component.update_state(
+                lambda s: {**s, "produced": np.int32(100_000 * 16)}
+            )
+
+        p.push(src.context.mutate(end))
         p.wait(60)
 
 
