@@ -71,9 +71,12 @@ def test_fuzz_biquad_random_stable_sections(rng):
 
 def test_fuzz_delay_echo(rng):
     """Random delay/feedback/mix vs the direct numpy recurrence."""
-    for case in range(5):
+    for case in range(7):
         block = int(rng.integers(64, 513))
-        D = int(block * rng.integers(1, 4))  # echo needs D >= block
+        if case < 3:
+            D = int(rng.integers(1, block))  # r3: short-delay echo
+        else:
+            D = int(block * rng.integers(1, 4))
         fb = float(rng.uniform(-0.6, 0.6))
         wet = float(rng.uniform(0.2, 1.0))
         dry = float(rng.uniform(0.0, 1.0))
@@ -91,6 +94,93 @@ def test_fuzz_delay_echo(rng):
         oracle = dry * x64 + wet * s[:, :N]
         sn = snr_db(oracle, out)
         assert sn > 100, f"case {case}: D={D} fb={fb:.2f}: {sn:.1f}"
+
+
+def test_fuzz_distributed_fdl_random_configs(rng):
+    """Random (IR length, mesh shape, chunk, channels, shared/per-channel)
+    sweeps of the bin-sharded OLS FDL vs fftconvolve — the >=100 dB bar
+    across the space, not just at golden configs."""
+    import jax
+    import scipy.signal
+    from pipe_tpu import parallel
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    for case in range(6):
+        ch, t = [(1, 2), (1, 4), (2, 4), (1, 8)][int(rng.integers(0, 4))]
+        n_local = int(rng.integers(96, 600))
+        chunk = n_local * t
+        C = ch * int(rng.integers(1, 3))
+        P = int(rng.integers(n_local + 1, n_local * 12))
+        per_channel = bool(rng.integers(0, 2))
+        shape = (C, P) if per_channel else (P,)
+        ir = rng.standard_normal(shape) * np.exp(
+            -np.arange(P) / (P / 4.0)
+        )
+        n_chunks = int(rng.integers(1, 4))
+        x = rng.standard_normal((C, chunk * n_chunks)).astype(np.float32)
+        chain = parallel.ShardedChain(
+            parallel.make_mesh(ch, t), [parallel.OLSStage(ir)],
+            channels=C, chunk_frames=chunk,
+        )
+        out = chain.process(x)
+        if per_channel:
+            oracle = np.stack([
+                scipy.signal.fftconvolve(
+                    x[c].astype(np.float64), ir[c]
+                )[: x.shape[1]]
+                for c in range(C)
+            ])
+        else:
+            oracle = scipy.signal.fftconvolve(
+                x.astype(np.float64), ir[None, :], axes=1
+            )[:, : x.shape[1]]
+        sn = snr_db(oracle, out)
+        assert sn > 100, (
+            f"case {case}: mesh {ch}x{t} n_local={n_local} P={P} "
+            f"per_channel={per_channel}: {sn:.1f} dB"
+        )
+
+
+def test_fuzz_sharded_delay_random_configs(rng):
+    """Random delay/feedback sweeps of the sharded DelayStage (short,
+    non-dividing, and longer-than-chunk delays) vs the recurrence."""
+    import jax
+    from pipe_tpu import parallel
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    for case in range(6):
+        t = [2, 4, 8][int(rng.integers(0, 3))]
+        n_local = int(rng.integers(128, 700))
+        chunk = n_local * t
+        C = int(rng.integers(1, 3))
+        D = int(rng.integers(1, int(2.5 * n_local)))
+        fb = float(rng.uniform(-0.5, 0.5)) if rng.integers(0, 2) else 0.0
+        wet = float(rng.uniform(0.2, 1.0))
+        dry = float(rng.uniform(0.0, 1.0))
+        n_chunks = int(rng.integers(1, 4))
+        x = rng.standard_normal((C, chunk * n_chunks)).astype(np.float32)
+        st = parallel.DelayStage(D, feedback=fb, wet=wet, dry=dry)
+        chain = parallel.ShardedChain(
+            parallel.make_mesh(1, t), [st], channels=C, chunk_frames=chunk
+        )
+        out = chain.process(x)
+        x64 = x.astype(np.float64)
+        N = x64.shape[1]
+        s = np.zeros((C, N + D))
+        for n in range(N):
+            s[:, n + D] = x64[:, n] + fb * s[:, n]
+        oracle = dry * x64 + wet * s[:, :N]
+        sn = snr_db(oracle, out)
+        assert sn > 95, (
+            f"case {case}: T={t} n_local={n_local} D={D} fb={fb:.2f}: "
+            f"{sn:.1f} dB"
+        )
 
 
 _POOL = [
