@@ -220,16 +220,17 @@ class Destination:
         (``target == frontier`` is an exact landing: the executor capped
         its previous dispatch right there.)"""
         with self._lock:
+            if strict and self._targeted:
+                # check BEFORE popping the pending batch: the raise must be
+                # side-effect-free (nothing silently dropped)
+                late = [e[0] for e in self._targeted if e[0] < frontier]
+                if late:
+                    raise LateTargetError(
+                        f"targeted mutation(s) at block(s) {late} arrived "
+                        f"after the dispatch frontier ({frontier})"
+                    )
             ms, self._pending = self._pending, None
             if self._targeted:
-                if strict:
-                    late = [e[0] for e in self._targeted if e[0] < frontier]
-                    if late:
-                        raise LateTargetError(
-                            f"targeted mutation(s) at block(s) {late} "
-                            f"arrived after the dispatch frontier "
-                            f"({frontier})"
-                        )
                 due = [e for e in self._targeted if e[0] <= frontier]
                 if due:
                     self._targeted = [
@@ -247,6 +248,13 @@ class Destination:
         with self._lock:
             future = [b for b, _ in self._targeted if b > frontier]
             return min(future) if future else None
+
+    def pending_targets(self) -> List[int]:
+        """Target block indices of undelivered block-indexed batches (the
+        multi-host end-of-stream audit reads this: a target the stream
+        never reached must fail loudly, not vanish)."""
+        with self._lock:
+            return [b for b, _ in self._targeted]
 
     def clear_targeted(self) -> None:
         """Drop undelivered block-indexed batches. A restarted pipe is a NEW

@@ -242,6 +242,14 @@ class MixWithGain:
             raise ValueError("side must be 'in' or 'out'")
         self._m = jnp.asarray(matrix, jnp.float32)
         self._gain = jnp.asarray(gain, jnp.float32)
+        if self._gain.ndim == 1:
+            want = self._m.shape[1] if side == "in" else self._m.shape[0]
+            if self._gain.shape[0] != want:
+                raise ValueError(
+                    f"per-channel gain of length {self._gain.shape[0]} "
+                    f"cannot fold into the {'columns' if side == 'in' else 'rows'} "
+                    f"of a {tuple(self._m.shape)} matrix (needs {want})"
+                )
         self.side = side
         self._component = None
         self.context = None

@@ -34,7 +34,7 @@ Stage coverage (BASELINE.json config 5 chain and friends):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -1320,6 +1320,15 @@ class MixGainStage(MixStage):
             raise ValueError("side must be 'in' or 'out'")
         super().__init__(matrix)
         self._gain = jnp.asarray(gain, jnp.float32)
+        if self._gain.ndim == 1:
+            want = self._m.shape[1] if side == "in" else self._m.shape[0]
+            if self._gain.shape[0] != want:
+                raise ValueError(
+                    f"per-channel gain of length {self._gain.shape[0]} "
+                    f"cannot fold into the "
+                    f"{'columns' if side == 'in' else 'rows'} of a "
+                    f"{tuple(self._m.shape)} matrix (needs {want})"
+                )
         self.side = side
 
     def build(self, c_global, c_local, n_local):

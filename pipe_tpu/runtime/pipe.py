@@ -316,6 +316,22 @@ class Pipe:
                     )
                 if executor.execute(stop_before) is EOF:
                     eof_exit = True
+                    if sync is not None and dest is not None:
+                        # end-of-stream audit: a targeted mutation that the
+                        # stream never reached (or that arrived during the
+                        # final dispatch window) would otherwise vanish —
+                        # on ONE host only, if its delivery raced the EOF —
+                        # silently desyncing the replicated outputs. The
+                        # strict contract is deterministic-or-fail, so any
+                        # undelivered target here is an error.
+                        leftover = dest.pending_targets()
+                        if leftover:
+                            raise mutable.LateTargetError(
+                                f"targeted mutation(s) at block(s) "
+                                f"{sorted(leftover)} undelivered at end of "
+                                f"stream (frontier "
+                                f"{executor.blocks_dispatched})"
+                            )
                     break
                 if sync is not None and sync.due(executor.blocks_dispatched):
                     sync.check(flag=0)  # raises PeerAbortError on peer fail

@@ -165,6 +165,44 @@ def main():
             return
         raise AssertionError(f"proc {pid}: expected the run to fail")
 
+    if mode == "late_target":
+        # end-of-stream audit: a target the stream never reaches must fail
+        # loudly on every host (deterministic-or-fail), not vanish
+        fir_c = parallel.sharded.FIR(h1)
+        sink_c = mock.Sink(discard=True)
+        short = np.zeros((C, CHUNK * 40), np.float32)
+        qpos = [0]
+
+        def feed_c(n):
+            if qpos[0] >= short.shape[1]:
+                return None
+            c = short[:, qpos[0] : qpos[0] + n]
+            qpos[0] += n
+            return c
+
+        pc = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=lambda ctx, b: Source(
+                    output=SignalProperties(44100.0, C), feed=feed_c
+                ),
+                processors=[fir_c.processor()],
+                sink=sink_c.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=16,
+        )
+        pc.start()
+        pc.push(fir_c.set_taps(h2), at_block=10_000)  # past the stream end
+        try:
+            pc.wait(600.0)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).lower()
+            assert "undelivered" in msg or "peer" in msg, e
+            print(f"late_target proc {pid} OK", flush=True)
+            return
+        raise AssertionError(f"proc {pid}: expected the run to fail")
+
     if mode == "multiline":
         # Two lines in ONE sync group (shared mutable context): the single
         # executor thread issues each line's cross-host collectives in the

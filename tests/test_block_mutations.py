@@ -152,6 +152,27 @@ def test_feed_line_batch_blocks_matches_unbatched(rng):
     np.testing.assert_allclose(outs[1], outs[k], atol=1e-6)
 
 
+def test_strict_late_target_raise_preserves_pending():
+    """take_due(strict=True) raising LateTargetError must be side-effect
+    free: the pending untargeted batch stays in the mailbox."""
+    ctx = mutable.mutable()
+    dest = mutable.Destination()
+    log = []
+    dest.put(mutable.Mutations().put(ctx.mutate(lambda: log.append("u"))))
+    dest.put(
+        mutable.Mutations().put(ctx.mutate(lambda: log.append("late"))),
+        at_block=3,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(mutable.LateTargetError):
+        dest.take_due(10, strict=True)
+    assert dest.pending_targets() == [3]
+    ms = dest.take_due(10)  # non-strict drain still delivers everything
+    ms.apply_to(ctx)
+    assert log == ["u", "late"]
+
+
 def test_destination_block_indexed_delivery():
     """Unit semantics of the targeted mailbox: due-at-frontier delivery,
     ordering, next_target, and take() drains everything."""

@@ -103,6 +103,16 @@ def test_two_host_batched_dispatch_abort():
         assert f"abort_batched proc {pid} OK" in out
 
 
+def test_two_host_undelivered_target_fails_loudly():
+    """A targeted mutation the stream never reaches must abort every host
+    (deterministic-or-fail), not silently vanish on whichever host raced
+    the EOF."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["late_target"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"late_target proc {pid} OK" in out
+
+
 def test_two_host_first_error_wins_abort():
     """A component failure on one host aborts the whole process group via
     the aligned health rounds (first-error-wins across hosts); the healthy

@@ -193,6 +193,52 @@ def test_fuse_gain_into_mix_both_sides(rng):
     mx2.set_matrix(m)
 
 
+def test_fuse_gain_fir_does_not_starve_fir_resample(rng):
+    """[Gain, FIR, Resampler]: the FIR+Resampler combined-bank rewrite
+    (the bigger win) must still fire; the gain stays standalone."""
+    g = ops.Gain(0.5)
+    f = ops.FIR(ops.design_lowpass(63, 4000.0, 44100.0))
+    rs = ops.Resampler(160, 147)
+    line = optimize.fuse(_Line(
+        source=None, sink=None,
+        processors=[g.processor(), f.processor(), rs.processor()],
+    ))
+    assert _count(line.processors) == 2  # [Gain, FIRResampler]
+    from pipe_tpu.ops.fused import FIRResampler
+
+    assert isinstance(f._delegate, FIRResampler)
+    assert isinstance(rs._delegate, FIRResampler)
+    assert g._delegate is None  # gain NOT folded (delegate-free)
+
+    # parity: fused == oracle
+    x = rng.standard_normal((1, 147 * 20)).astype(np.float32)
+    y = stream_through(line.processors, x, 588)
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    h64 = np.asarray(ops.design_lowpass(63, 4000.0, 44100.0))
+    fx = scipy.signal.lfilter(h64, [1.0], 0.5 * x.astype(np.float64), axis=1)
+    oracle = _resample_oracle(fx, polyphase_design(160, 147, 32), 160, 147)
+    assert snr_db(oracle, y) > 100
+
+
+def test_fuse_mix_gain_length_mismatch_rejected():
+    """A per-channel gain whose length doesn't match the folded matrix
+    dimension fails at construction, not as a mid-stream XLA error."""
+    from pipe_tpu.ops.fused import MixWithGain
+
+    m = np.ones((2, 4), np.float32)
+    with pytest.raises(ValueError, match="cannot fold"):
+        MixWithGain(m, np.ones(3, np.float32), side="in")
+    with pytest.raises(ValueError, match="cannot fold"):
+        MixWithGain(m, np.ones(4, np.float32), side="out")
+    with pytest.raises(ValueError, match="cannot fold"):
+        parallel.MixGainStage(m, np.ones(3, np.float32), side="in")
+    # matching lengths construct fine
+    MixWithGain(m, np.ones(4, np.float32), side="in")
+    parallel.MixGainStage(m, np.ones(2, np.float32), side="out")
+
+
 def test_fuse_gain_fir_retune_transient_contract(rng):
     """Pins the documented retune semantics of a folded gain->FIR pair: a
     live set_gain applies to the OUTPUT stream from exactly its landing
