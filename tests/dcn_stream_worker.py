@@ -121,7 +121,13 @@ def main():
         )
         pb.start()
         pb.push(fir_b.set_taps(h2), at_block=SWITCH)
+        # surgery under batched dispatch: both hosts splice a gain at the
+        # same chunk — the recompiled step starts mid-batch everywhere
+        SPLICE = 700
+        g = parallel.sharded.Gain(0.5)
+        hdl = pb.insert_processor(0, 1, g.processor(), at_block=SPLICE)
         pb.wait(600.0)
+        assert hdl.wait(10) and hdl.error is None, hdl.error
 
         out = sink_b.values
         assert out.shape == data.shape, out.shape
@@ -130,6 +136,7 @@ def main():
         y2 = scipy.signal.lfilter(h2, [1.0], x64, axis=1)
         s = SWITCH * CHUNK
         oracle = np.concatenate([y1[:, :s], y2[:, s:]], axis=1)
+        oracle[:, SPLICE * CHUNK :] *= np.float64(np.float32(0.5))
         snr = snr_db(oracle, out)
         assert snr > 100, f"host {pid}: SNR {snr:.1f} dB"
         print(f"stream_batched proc {pid} OK {snr:.1f} dB", flush=True)

@@ -86,8 +86,9 @@ def test_two_host_streaming_pipe_1000_chunks():
 
 def test_two_host_streaming_pipe_batched_dispatch():
     """VERDICT r2 item 2: batch_blocks=8 on a multi-host pipe — 1000
-    chunks, one scanned dispatch per 8 chunks, a targeted retune splitting
-    the batch at the same chunk on both hosts, SNR > 100 dB on both."""
+    chunks, one scanned dispatch per 8 chunks, a targeted retune AND
+    targeted surgery (insert_processor) splitting batches at the same
+    chunks on both hosts, SNR > 100 dB on both."""
     procs, outs = _run_workers("dcn_stream_worker.py", ["stream_batched"])
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
