@@ -318,16 +318,7 @@ def _dd_forcing(buf, coefs, coefs_lo):
     return t
 
 
-def _dd_affine1_combine(left, right, one):
-    """First-order affine composition in dd: elements are 2 dd pairs
-    (a, u) for ``y[n] = a y[n-1] + u[n]`` — the one-pole analog of
-    :func:`_dd_affine_combine` (used by the dynamics attack smoother)."""
-    la, lu = left
-    ra, ru = right
-    return _dd_mul(ra, la, one), _dd_add(_dd_mul(ra, lu, one), ru)
-
-
-def _dd_prefix_scan(elems, one, combine=None):
+def _dd_prefix_scan(elems, one):
     """Inclusive prefix-combine over axis 1 by prefix doubling
     (Hillis–Steele): ``prefix[i] = combine(prefix[i - k], prefix[i])``
     for k = 1, 2, 4, ...
@@ -338,17 +329,16 @@ def _dd_prefix_scan(elems, one, combine=None):
     odd/even recursion, see :func:`_opaque_one`) — while this explicit
     slice/concat form with laundered products is accurate under jit on
     both backends. O(N log N) combines instead of O(N): acceptable for
-    the extended-precision paths. ``combine(left, right, one)`` defaults
-    to the biquad's 2x2 affine composition."""
-    if combine is None:
-        combine = _dd_affine_combine
+    the opt-in extended-precision path. (The dynamics attack smoother
+    deliberately does NOT use a dd scan — it gets the same accuracy from
+    one plain-f32 refinement pass, ``ops.dynamics.envelope_block``.)"""
     n = elems[0][0].shape[1]
     pref = elems
     k = 1
     while k < n:
         shifted = jax.tree.map(lambda x: x[:, :-k], pref)
         rest = jax.tree.map(lambda x: x[:, k:], pref)
-        comb = combine(shifted, rest, one)
+        comb = _dd_affine_combine(shifted, rest, one)
         pref = jax.tree.map(
             lambda p, c: jnp.concatenate([p[:, :k], c], axis=1), pref, comb
         )

@@ -86,9 +86,12 @@ def envelope_block(env0, x_abs, frames, release_coef, attack_oma,
     ``_iir_refine`` mechanic on a first-order recurrence) removes it: the
     residual is evaluated with error-free transforms — including the dd
     complement of the f32 coefficient and the dd low word of the carried
-    state — and the filtered correction is second-order small. Measured
-    >=130 dB vs a float64 oracle for attacks from 0.5 to 300 ms
-    (docs/PERF_NOTES.md).
+    state — and the filtered correction is second-order small. Measured:
+    flat 105-108 dB vs a TRUE-coefficient float64 oracle for attacks from
+    0.5 to 300 ms (the residual ~107 dB floor is the release follower's
+    unamplified f32 rounding, kappa-independent; the attack smoother
+    alone matches an f32-coefficient oracle at ~150 dB) —
+    docs/PERF_NOTES.md "Dynamics envelope precision".
 
     Args:
       env0: ``(C, 2)`` carried state: (release env, smoothed env) at the
@@ -189,6 +192,11 @@ class Delay:
                  allow_feedback=None):
         if delay_frames < 1:
             raise ValueError("delay_frames must be >= 1")
+        if allow_feedback is False and feedback != 0.0:
+            raise ValueError(
+                "contradictory arguments: nonzero feedback with "
+                "allow_feedback=False"
+            )
         self.delay_frames = delay_frames
         self._feedback = feedback
         self._wet = wet

@@ -194,6 +194,14 @@ class FIRWithGain:
                     f"per-channel taps for {taps.shape[0]} channels, "
                     f"line has {props.channels}"
                 )
+            if (
+                self._gain.ndim == 1
+                and self._gain.shape[0] != props.channels
+            ):
+                raise ValueError(
+                    f"per-channel gain of length {self._gain.shape[0]} "
+                    f"cannot fold into a {props.channels}-channel FIR"
+                )
             self.context = mctx
             T = taps.shape[-1]
 

@@ -607,7 +607,8 @@ def _sharded_envelope(carry_env, carry_lo, xa, release_coef, attack_oma):
     the streaming engine (``ops.dynamics.envelope_block``): the residual —
     with the dd coefficient complement and the dd state low word — is
     filtered as a second zero-entering cross-device recurrence, so the
-    sharded envelope holds the streaming engine's >=130 dB floor.
+    sharded envelope holds the streaming engine's measured floor (flat
+    105-108 dB vs float64 oracles at any attack time, docs/PERF_NOTES.md).
     Returns ``(new_env (C,2), new_lo (C,), env (C,N))``."""
     from pipe_tpu.ops.biquad import _opaque_one, _two_prod, _two_sum
     from pipe_tpu.ops.dynamics import _max_decay_combine, _affine1_combine
@@ -802,6 +803,12 @@ class DelayStage(Stage):
                  allow_feedback: Optional[bool] = None):
         if delay_frames < 1:
             raise ValueError("delay_frames must be >= 1")
+        if allow_feedback is False and feedback != 0.0:
+            raise ValueError(
+                "contradictory arguments: nonzero feedback with "
+                "allow_feedback=False (the pure-delay path would silently "
+                "ignore the feedback)"
+            )
         self.delay_frames = int(delay_frames)
         self._init = dict(feedback=feedback, wet=wet, dry=dry)
         self._allow_feedback = allow_feedback

@@ -427,8 +427,16 @@ class Pipe:
         reference's next-buffer guarantee. ``at_block`` targets an exact
         stream block index instead: the executor applies them right before
         dispatching that block, splitting a ``batch_blocks`` dispatch at the
-        boundary if needed (deterministic landing under any perf knobs; a
-        target already passed applies at the next block)."""
+        boundary if needed (deterministic landing under any perf knobs).
+
+        Single-process pipes are lenient: a target already passed applies
+        at the next block. MULTI-HOST pipes are strict
+        (deterministic-or-fail): a target that arrives after its block was
+        dispatched — or that the stream never reaches — raises
+        ``mutable.LateTargetError`` and aborts the run, because a
+        host-local late landing would silently desynchronize the
+        replicated streams. Push with headroom: target comfortably past
+        ``block_index()`` plus ``lookahead * batch_blocks``."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
         if (

@@ -91,15 +91,23 @@ CASES = [
         32768,
         0.3,
     ),
-    # pure delay, D <= n_local: a D-sample halo + the D-tail carry gather
+    # pure delay, small D <= n_local: a D-sample halo + D-tail carry gather
     ("delay_pure_300", lambda: [par.DelayStage(300, wet=1.0)], 32768, 0.25),
-    # pure delay, D > n_local: the delay-line state is bigger than a
-    # block, and it is replicated — moving O(D) per step is inherent
+    # pure delay, LARGE D still <= n_local (one-hop): halo + carry both
+    # scale with D — replicating O(D) of delay-line state is inherent
     (
         "delay_pure_5000",
         lambda: [par.DelayStage(5000, wet=1.0)],
         32768,
         3.5,
+    ),
+    # pure delay, D > n_local (n_local = 8192 here): the MULTI-HOP regime —
+    # two whole-block ppermutes + the full-block carry gather
+    (
+        "delay_pure_20000_multihop",
+        lambda: [par.DelayStage(20000, wet=1.0)],
+        32768,
+        6.5,
     ),
     # feedback delay: the rotated-affine ladder moves log2(T)=2 copies of
     # the O(C*D) transfer per step (a gather would move T=4)

@@ -238,6 +238,14 @@ def test_fuse_mix_gain_length_mismatch_rejected():
     MixWithGain(m, np.ones(4, np.float32), side="in")
     parallel.MixGainStage(m, np.ones(2, np.float32), side="out")
 
+    # FIRWithGain validates per-channel gain length at alloc
+    from pipe_tpu import mutable
+    from pipe_tpu.ops.fused import FIRWithGain
+
+    fw = FIRWithGain(np.ones(9, np.float32), np.ones(3, np.float32))
+    with pytest.raises(ValueError, match="cannot fold"):
+        fw.processor()(mutable.mutable(), 256, SignalProperties(44100.0, 2))
+
 
 def test_fuse_gain_fir_retune_transient_contract(rng):
     """Pins the documented retune semantics of a folded gain->FIR pair: a

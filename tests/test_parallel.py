@@ -702,6 +702,18 @@ def test_delay_stage_feedback_longer_than_local_chunk(rng):
     assert snr_db(_echo_oracle(x, D, fb, 1.0, 0.0), out) > 90
 
 
+def test_delay_contradictory_feedback_args_rejected():
+    """feedback != 0 with allow_feedback=False is a contradiction — it
+    must raise (the pure path would silently ignore the feedback), on
+    both the sharded and the streaming factories."""
+    from pipe_tpu import ops as _ops
+
+    with pytest.raises(ValueError, match="contradictory"):
+        parallel.DelayStage(300, feedback=0.5, allow_feedback=False)
+    with pytest.raises(ValueError, match="contradictory"):
+        _ops.Delay(300, feedback=0.5, allow_feedback=False)
+
+
 def test_delay_stage_allow_feedback_live_retune(rng):
     """allow_feedback=True builds the recurrence machinery with fb=0; a
     live set_feedback then turns the echo on without recompiling."""
