@@ -266,7 +266,17 @@ class LineExecutor:
                 if gather_out:
                     from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 
-                    d = jax.lax.all_gather(d, TIME_AXIS, axis=1, tiled=True)
+                    # gather on a NEW leading axis, then transpose+reshape
+                    # to the tiled layout: equivalent to
+                    # all_gather(axis=1, tiled=True), but the tiled form
+                    # makes XLA:CPU's multi-process layout assignment feed
+                    # upstream fft ops a transposed layout its fft thunk
+                    # RET_CHECKs on (fft_thunk.cc:167; seen with the
+                    # distributed-FDL OLS ahead of this gather)
+                    g0 = jax.lax.all_gather(d, TIME_AXIS, axis=0, tiled=False)
+                    d = jnp.transpose(g0, (1, 0, 2)).reshape(
+                        d.shape[0], -1
+                    )
                     if gather_ch:
                         d = jax.lax.all_gather(d, CH_AXIS, axis=0, tiled=True)
                 out = (d, sig.frames)

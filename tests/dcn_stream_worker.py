@@ -172,6 +172,60 @@ def main():
             return
         raise AssertionError(f"proc {pid}: expected the run to fail")
 
+    if mode == "ols_delay":
+        # the r3 heavy collectives across a REAL process boundary: the
+        # bin-sharded FDL's two all_to_all transposes and the feedback
+        # delay's rotated-affine ppermute ladder ride DCN every chunk
+        N_OD = 200
+        P_ir = 300  # > n_local = CHUNK/4 = 128 -> distributed FDL (K=3)
+        rng2 = np.random.default_rng(13)
+        ir = rng2.standard_normal(P_ir) * np.exp(-np.arange(P_ir) / 60.0)
+        d2 = rng2.standard_normal((C, CHUNK * N_OD)).astype(np.float32)
+        q2 = [0]
+
+        def feed_od(n):
+            if q2[0] >= d2.shape[1]:
+                return None
+            c = d2[:, q2[0] : q2[0] + n]
+            q2[0] += n
+            return c
+
+        ols = parallel.sharded.OLS(ir)
+        echo = parallel.sharded.Delay(100, feedback=0.4, wet=0.3, dry=1.0)
+        sink_od = mock.Sink()
+        pod = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=lambda ctx, b: Source(
+                    output=SignalProperties(44100.0, C), feed=feed_od
+                ),
+                processors=[ols.processor(), echo.processor()],
+                sink=sink_od.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=16,
+        )
+        pod.start()
+        pod.wait(600.0)
+
+        x64 = d2.astype(np.float64)
+        conv = scipy.signal.fftconvolve(x64, ir[None, :], axes=1)[
+            :, : x64.shape[1]
+        ]
+        D, fb = 100, 0.4
+        a = np.zeros(D + 1)
+        a[0], a[D] = 1.0, -fb
+        s = scipy.signal.lfilter([1.0], a, conv, axis=1)
+        delayed = np.concatenate(
+            [np.zeros((C, D)), s[:, :-D]], axis=1
+        )
+        oracle = 1.0 * conv + 0.3 * delayed
+        snr = snr_db(oracle, sink_od.values)
+        assert sink_od.values.shape == d2.shape
+        assert snr > 100, f"host {pid}: {snr:.1f} dB"
+        print(f"ols_delay proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
     if mode == "late_target":
         # end-of-stream audit: a target the stream never reaches must fail
         # loudly on every host (deterministic-or-fail), not vanish

@@ -104,6 +104,17 @@ def test_two_host_batched_dispatch_abort():
         assert f"abort_batched proc {pid} OK" in out
 
 
+def test_two_host_distributed_fdl_and_delay_ladder():
+    """The r3 heavy collectives across a REAL process boundary: the
+    bin-sharded OLS FDL's all_to_all transposes and the feedback delay's
+    ppermute ladder ride DCN every chunk; both hosts match the float64
+    oracle at > 100 dB."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["ols_delay"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"ols_delay proc {pid} OK" in out
+
+
 def test_two_host_undelivered_target_fails_loudly():
     """A targeted mutation the stream never reaches must abort every host
     (deterministic-or-fail), not silently vanish on whichever host raced
