@@ -192,6 +192,10 @@ def main():
 
         ols = parallel.sharded.OLS(ir)
         echo = parallel.sharded.Delay(100, feedback=0.4, wet=0.3, dry=1.0)
+        # unity-gain STFT stage: exercises the OTHER fft engine (dual-halo
+        # analysis/OLA) across the process boundary; with unit gains it is
+        # an exact W-hop=48-sample delay
+        sg = parallel.sharded.SpectralGain(64, 16)
         sink_od = mock.Sink()
         pod = pipe_tpu.Pipe(
             CHUNK,
@@ -199,7 +203,9 @@ def main():
                 source=lambda ctx, b: Source(
                     output=SignalProperties(44100.0, C), feed=feed_od
                 ),
-                processors=[ols.processor(), echo.processor()],
+                processors=[
+                    ols.processor(), echo.processor(), sg.processor()
+                ],
                 sink=sink_od.sink(),
             ),
             mesh=mesh,
@@ -220,6 +226,11 @@ def main():
             [np.zeros((C, D)), s[:, :-D]], axis=1
         )
         oracle = 1.0 * conv + 0.3 * delayed
+        # the unity STFT stage delays by W-hop = 48 samples
+        L = 64 - 16
+        oracle = np.concatenate(
+            [np.zeros((C, L)), oracle[:, :-L]], axis=1
+        )
         snr = snr_db(oracle, sink_od.values)
         assert sink_od.values.shape == d2.shape
         assert snr > 100, f"host {pid}: {snr:.1f} dB"
