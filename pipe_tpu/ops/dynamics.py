@@ -134,15 +134,16 @@ def envelope_block(env0, x_abs, frames, release_coef, attack_oma,
     if env0_lo is None:
         env0_lo = jnp.zeros((C,), jnp.float32)
     cab = jnp.broadcast_to(ca_hi, xa.shape)
-    u = (oma * raw) * one
-    u_seeded = u.at[:, 0].add(ca_hi * e0)
+    # um is the rounded product (oma*raw)*one — the scan's forcing — and
+    # ue its exact error term, reused by the refinement residual
+    um, ue = _two_prod(jnp.broadcast_to(oma, xa.shape), raw, one)
+    u_seeded = um.at[:, 0].add(ca_hi * e0)
     _, y = lax.associative_scan(_affine1_combine, (cab, u_seeded), axis=1)
     # refinement: the residual of y against the ACCURATE recurrence
     # (error-free products/sums; ca_lo and the carried dd low word carry
     # the coefficient and state defects), filtered once more
     yprev = jnp.concatenate([e0[:, None], y[:, :-1]], axis=1)
     p, pe = _two_prod(cab, yprev, one)
-    um, ue = _two_prod(jnp.broadcast_to(oma, xa.shape), raw, one)
     s, se = _two_sum(p, um)
     res = (s - y) + (pe + se + ue) + ca_lo * yprev
     res = res.at[:, 0].add(ca_hi * env0_lo)

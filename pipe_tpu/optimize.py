@@ -61,6 +61,16 @@ def _is_sharded(obj) -> bool:
     return isinstance(obj, ShardedOp)
 
 
+def _bq_key(obj) -> tuple:
+    """(backend, refine, extended) — biquads fuse only within one key."""
+    extended = (
+        obj._precision == "extended"
+        if _is_sharded(obj)
+        else obj._extended
+    )
+    return _is_sharded(obj), getattr(obj, "_refine", True), extended
+
+
 def _fuse_biquad_run(procs: List, i: int) -> Optional[tuple]:
     """A maximal run of >=2 adjacent same-backend biquads with matching
     refine/precision -> one cascade."""
@@ -68,35 +78,24 @@ def _fuse_biquad_run(procs: List, i: int) -> Optional[tuple]:
     if t is None or t[0] != "biquad":
         return None
     first = t[1]
-    backend = _is_sharded(first)
+    key = _bq_key(first)
     run = [first]
     j = i + 1
     while j < len(procs):
         tj = _tag(procs[j])
-        if tj is None or tj[0] != "biquad":
+        if tj is None or tj[0] != "biquad" or _bq_key(tj[1]) != key:
             break
-        obj = tj[1]
-        if _is_sharded(obj) != backend:
-            break
-        if (
-            getattr(obj, "_refine", True) != getattr(first, "_refine", True)
-            or getattr(obj, "_precision", getattr(obj, "_extended", None))
-            != getattr(first, "_precision", getattr(first, "_extended", None))
-        ):
-            break
-        run.append(obj)
+        run.append(tj[1])
         j += 1
     if len(run) < 2:
         return None
-    if backend:
+    if key[0]:
         from pipe_tpu.parallel import sharded
 
         fused = sharded.BiquadCascade(run)
     else:
         from pipe_tpu.ops.fused import BiquadCascade
 
-        if any(p._extended != first._extended for p in run):
-            return None
         fused = BiquadCascade(run)
     for p in run:
         p._delegate = fused

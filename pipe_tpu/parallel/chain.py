@@ -638,7 +638,9 @@ def _sharded_envelope(carry_env, carry_lo, xa, release_coef, attack_oma):
     ca_lo = ((1.0 - ca_hi) * one - oma) * one
     e0 = carry_env[:, 1]
     cab = jnp.broadcast_to(ca_hi, xa.shape)
-    u = (oma * raw) * one
+    # um is the rounded forcing (oma*raw)*one; ue its exact error term,
+    # reused by the refinement residual
+    um, ue = _two_prod(jnp.broadcast_to(oma, xa.shape), raw, one)
 
     def chunk_recurrence(v, enter):
         """y[n] = ca_hi y[n-1] + v[n] across the whole chunk, entering
@@ -651,7 +653,7 @@ def _sharded_envelope(carry_env, carry_lo, xa, release_coef, attack_oma):
         )
         return loc + (pca * enter + pu)[:, None] * cum
 
-    y = chunk_recurrence(u, e0)
+    y = chunk_recurrence(um, e0)
 
     # 5) refinement: accurate residual (previous output crosses the device
     # boundary as a one-sample halo), filtered as a second zero-entering
@@ -660,7 +662,6 @@ def _sharded_envelope(carry_env, carry_lo, xa, release_coef, attack_oma):
         [halo_from_left(y, 1, TIME_AXIS, e0[:, None]), y[:, :-1]], axis=1
     )
     p, pe = _two_prod(cab, yprev, one)
-    um, ue = _two_prod(jnp.broadcast_to(oma, xa.shape), raw, one)
     s, se = _two_sum(p, um)
     res = (s - y) + (pe + se + ue) + ca_lo * yprev
     # the carried dd low word enters at the GLOBAL first sample only
@@ -826,7 +827,6 @@ class DelayStage(Stage):
         }
         self.carry_spec = {"hist": P(CH_AXIS, None)}
         self.param_spec = {k: P() for k in self._init}
-        self._n_local = n_local
         self.out_c_global, self.out_c_local, self.out_n_local = (
             c_global, c_local, n_local,
         )

@@ -163,9 +163,7 @@ def test_strict_late_target_raise_preserves_pending():
         mutable.Mutations().put(ctx.mutate(lambda: log.append("late"))),
         at_block=3,
     )
-    import pytest as _pytest
-
-    with _pytest.raises(mutable.LateTargetError):
+    with pytest.raises(mutable.LateTargetError):
         dest.take_due(10, strict=True)
     assert dest.pending_targets() == [3]
     ms = dest.take_due(10)  # non-strict drain still delivers everything

@@ -179,16 +179,9 @@ def test_compressor_slow_attack_holds_100db(rng):
                           attack_ms=att, release_ms=rel)
     y = stream_through([comp.processor()], x, block)
 
-    rc = np.exp(-1000.0 / (rel * 44100.0))
-    ac = np.exp(-1000.0 / (att * 44100.0))
-    env = np.zeros((C, N))
-    r = np.zeros(C)
-    e = np.zeros(C)
-    xa = np.abs(x.astype(np.float64))
-    for n in range(N):
-        r = np.maximum(xa[:, n], rc * r)
-        e = ac * e + (1.0 - ac) * r
-        env[:, n] = e
+    from tests.test_parallel import _envelope64
+
+    env = _envelope64(x, attack_ms=att, release_ms=rel)
     env_db = 20.0 * np.log10(np.maximum(env, 1e-8))
     over = np.maximum(env_db - thr, 0.0)
     g = 10.0 ** ((-over * (1.0 - 1.0 / ratio)) / 20.0)
