@@ -237,6 +237,53 @@ def main():
         print(f"ols_delay proc {pid} OK {snr:.1f} dB", flush=True)
         return
 
+    if mode == "mix_psum":
+        # config 5's merged mixer across hosts: channels shard over a mesh
+        # axis that spans the PROCESS boundary, so the Mix stage's psum
+        # reduction rides DCN every chunk
+        mesh_m = parallel.make_global_mesh(
+            channel_shards=2, time_shards=nproc
+        )
+        C_m, N_M = 4, 300
+        rng4 = np.random.default_rng(17)
+        d4 = rng4.standard_normal((C_m, CHUNK * N_M)).astype(np.float32)
+        mixm = rng4.standard_normal((2, C_m)).astype(np.float32)
+        q4 = [0]
+
+        def feed_m(n):
+            if q4[0] >= d4.shape[1]:
+                return None
+            c = d4[:, q4[0] : q4[0] + n]
+            q4[0] += n
+            return c
+
+        fir_m = parallel.sharded.FIR(h1)
+        mix = parallel.sharded.Mix(mixm)
+        sink_m = mock.Sink()
+        pm = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=lambda ctx, b: Source(
+                    output=SignalProperties(44100.0, C_m), feed=feed_m
+                ),
+                processors=[fir_m.processor(), mix.processor()],
+                sink=sink_m.sink(),
+            ),
+            mesh=mesh_m,
+            host_sync_every=16,
+        )
+        pm.start()
+        pm.wait(600.0)
+
+        x64 = d4.astype(np.float64)
+        fx = scipy.signal.lfilter(h1, [1.0], x64, axis=1)
+        oracle = mixm.astype(np.float64) @ fx
+        snr = snr_db(oracle, sink_m.values)
+        assert sink_m.values.shape == oracle.shape, sink_m.values.shape
+        assert snr > 100, f"host {pid}: {snr:.1f} dB"
+        print(f"mix_psum proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
     if mode == "late_target":
         # end-of-stream audit: a target the stream never reaches must fail
         # loudly on every host (deterministic-or-fail), not vanish

@@ -115,6 +115,17 @@ def test_two_host_distributed_fdl_and_delay_ladder():
         assert f"ols_delay proc {pid} OK" in out
 
 
+def test_two_host_merged_mixer_psum():
+    """Config 5's merged mixer across hosts: the channel axis spans the
+    process boundary, so the Mix stage's psum reduction crosses DCN every
+    chunk; both hosts' (replicated) mixed outputs match the float64
+    oracle at > 100 dB."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["mix_psum"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"mix_psum proc {pid} OK" in out
+
+
 def test_two_host_undelivered_target_fails_loudly():
     """A targeted mutation the stream never reaches must abort every host
     (deterministic-or-fail), not silently vanish on whichever host raced
