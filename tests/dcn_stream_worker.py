@@ -380,7 +380,8 @@ def main():
 
     if mode == "ckpt":
         # checkpoint/resume across hosts: every process snapshots the
-        # sharded state (collective gather of non-addressable leaves),
+        # sharded state (collective gather of non-addressable leaves —
+        # including the 4-D BIN-SHARDED distributed-FDL carry, r3),
         # restores into a fresh mesh pipe, and the resumed stream equals
         # the uninterrupted float64 oracle.
         from pipe_tpu import checkpoint, ops as _ops
@@ -388,6 +389,8 @@ def main():
         N_CK = 120
         sos = _ops.design_peaking_eq(44100, freq=600, q=1.5, gain_db=3.0)
         rng3 = np.random.default_rng(9)
+        P_ck = 300  # > n_local = 128 -> distributed FDL carry in the state
+        ir_ck = rng3.standard_normal(P_ck) * np.exp(-np.arange(P_ck) / 60.0)
         d = rng3.standard_normal((C, CHUNK * N_CK)).astype(np.float32)
 
         def make(part):
@@ -406,13 +409,14 @@ def main():
                 )
 
             f = parallel.sharded.FIR(h1)
+            o = parallel.sharded.OLS(ir_ck)
             b = parallel.sharded.Biquad(sos)
             s = mock.Sink()
             return s, pipe_tpu.Pipe(
                 CHUNK,
                 pipe_tpu.Line(
                     source=alloc,
-                    processors=[f.processor(), b.processor()],
+                    processors=[f.processor(), o.processor(), b.processor()],
                     sink=s.sink(),
                 ),
                 mesh=mesh,
@@ -432,10 +436,11 @@ def main():
 
         out = np.concatenate([sink_a.values, sink_b.values], axis=1)
         x64 = d.astype(np.float64)
-        oracle = scipy.signal.sosfilt(
-            sos[None, :], scipy.signal.lfilter(h1, [1.0], x64, axis=1),
-            axis=1,
-        )
+        fx = scipy.signal.lfilter(h1, [1.0], x64, axis=1)
+        cx = scipy.signal.fftconvolve(fx, ir_ck[None, :], axes=1)[
+            :, : x64.shape[1]
+        ]
+        oracle = scipy.signal.sosfilt(sos[None, :], cx, axis=1)
         snr = snr_db(oracle, out)
         assert out.shape == d.shape, out.shape
         assert snr > 100, f"host {pid}: {snr:.1f} dB"
