@@ -55,19 +55,31 @@ def partition_ir(ir: np.ndarray, block_size: int) -> np.ndarray:
 
 def ols_init_state(channels: int, block_size: int, n_parts: int):
     """Zero state: previous input block + frequency-domain delay line
-    (re/im planes)."""
+    (re/im planes) + the ring head (slot of the NEXT write)."""
     bins = block_size + 1
     return {
         "prev": jnp.zeros((channels, block_size), jnp.float32),
         "fdl": jnp.zeros((2, n_parts, channels, bins), jnp.float32),
+        "pos": jnp.zeros((), jnp.int32),
     }
 
 
 def ols_block(state, x, frames, ir_spec):
     """One UPOLS block.
 
+    The FDL is a RING: block t's spectrum lives in slot ``t mod K`` and is
+    written in place (``dynamic_update_slice`` + buffer donation), so the
+    per-block state traffic is one slot instead of shifting the whole
+    delay line — the shift was the dominant cost of the step (the MAC and
+    FFTs are small next to K spectra of HBM traffic; docs/PERF_NOTES.md
+    "OLS convolution"). The MAC alignment moves to the (much smaller) IR
+    side: ``acc = sum_q fdl[q] * H_rot[q]`` with
+    ``H_rot[q] = H[(s - q) mod K]`` — a roll of the reversed partition
+    spectra by the traced head.
+
     Args:
-      state: dict with ``prev`` (C, B) and ``fdl`` (2, n_parts, C, bins).
+      state: dict with ``prev`` (C, B), ``fdl`` (2, n_parts, C, bins),
+        ``pos`` () int32 — the slot the current block is written to.
       x: (C, B) input block, valid up to ``frames``.
       frames: traced int32.
       ir_spec: (2, n_parts, bins) shared or (2, n_parts, C, bins)
@@ -76,16 +88,22 @@ def ols_block(state, x, frames, ir_spec):
     Returns (new_state, y) with y (C, B).
     """
     C, B = x.shape
+    K = state["fdl"].shape[1]
     idx = jnp.arange(B, dtype=jnp.int32)[None, :]
     xm = jnp.where(idx < frames, x, 0.0)
     window = jnp.concatenate([state["prev"], xm], axis=1)  # (C, 2B)
     X = jnp.fft.rfft(window, axis=-1)  # (C, bins) complex64
     Xp = jnp.stack([jnp.real(X), jnp.imag(X)])  # (2, C, bins) float32
-    fdl = jnp.concatenate([Xp[:, None], state["fdl"][:, :-1]], axis=1)
+    s = state["pos"]
+    fdl = jax.lax.dynamic_update_slice(
+        state["fdl"], Xp[:, None], (0, s, 0, 0)
+    )
+    # H_rot[q] = H[(s - q) mod K]: reversed spectra rolled by the head
+    h_rot = jnp.roll(ir_spec[:, ::-1], s + 1, axis=1)
     hi = config.matmul_precision()
     fr, fi = fdl[0], fdl[1]  # (n_parts, C, bins)
     if ir_spec.ndim == 3:  # shared IR: (2, n_parts, bins)
-        hr, hi_ = ir_spec[0], ir_spec[1]
+        hr, hi_ = h_rot[0], h_rot[1]
         acc_re = jnp.einsum("pcb,pb->cb", fr, hr, precision=hi) - jnp.einsum(
             "pcb,pb->cb", fi, hi_, precision=hi
         )
@@ -93,7 +111,7 @@ def ols_block(state, x, frames, ir_spec):
             "pcb,pb->cb", fi, hr, precision=hi
         )
     else:  # per-channel IR: (2, n_parts, C, bins)
-        hr, hi_ = ir_spec[0], ir_spec[1]
+        hr, hi_ = h_rot[0], h_rot[1]
         acc_re = jnp.einsum("pcb,pcb->cb", fr, hr, precision=hi) - jnp.einsum(
             "pcb,pcb->cb", fi, hi_, precision=hi
         )
@@ -106,7 +124,11 @@ def ols_block(state, x, frames, ir_spec):
     # mid-stream partial blocks we shift by `frames` like the FIR tail.
     buf = jnp.concatenate([state["prev"], xm], axis=1)
     prev = jax.lax.dynamic_slice(buf, (0, frames), (C, B))
-    return {"prev": prev, "fdl": fdl}, y.astype(jnp.float32)
+    return {
+        "prev": prev,
+        "fdl": fdl,
+        "pos": (s + 1) % K,
+    }, y.astype(jnp.float32)
 
 
 class OLSConvolve:
