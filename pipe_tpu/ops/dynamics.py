@@ -223,6 +223,16 @@ class Delay:
             C = props.channels
             B = block_size
             scan_path = can_feedback and D < B
+            # D >= B: the delay line is a MIRRORED RING — every sample is
+            # written at ring index (pos mod L) AND (pos mod L) + L in a
+            # 2L buffer, so any L-window read is one contiguous slice and
+            # the per-block state traffic is O(B), not O(D) (the concat
+            # shift re-wrote all D samples per block — dominant for long
+            # echo lines; same mechanic as the UPOLS ring FDL,
+            # docs/PERF_NOTES.md). Reads precede writes and L = D + B, so
+            # the tap window [t-D, t-D+B) always holds valid history.
+            ring_path = D >= B
+            L = D + B
 
             def step(state, params, sig: Signal):
                 # The delay line carries the stream s = x + fb * s[n-D]
@@ -230,12 +240,27 @@ class Delay:
                 x = sig.data
                 idx = jnp.arange(B, dtype=jnp.int32)[None, :]
                 xm = jnp.where(idx < sig.frames, x, 0.0)
-                hist = state["hist"]  # (C, D): trailing D samples of s
                 fb = params["feedback"]
-                if not scan_path:
-                    # tap entirely from history (D >= B), or pure delay
-                    delayed = jnp.concatenate([hist, xm], axis=1)[:, :B]
+                if ring_path:
+                    ring = state["ring"]  # (C, 2L) mirrored
+                    pos = state["pos"]  # stream position mod L
+                    r0 = (pos - D) % L
+                    delayed = lax.dynamic_slice(ring, (0, r0), (C, B))
                     s = xm + fb * delayed if can_feedback else xm
+                    ring = lax.dynamic_update_slice(ring, s, (0, pos))
+                    # mirror; pos <= L-1 and s is B wide, so pos+L+B <= 2L+
+                    # B-1 — pad the buffer by B so the mirror write never
+                    # clamps (the pad bytes are never read)
+                    ring = lax.dynamic_update_slice(ring, s, (0, pos + L))
+                    y = params["dry"] * xm + params["wet"] * delayed
+                    new_state = {
+                        "ring": ring, "pos": (pos + sig.frames) % L
+                    }
+                    return new_state, sig.with_data(y)
+                hist = state["hist"]  # (C, D): trailing D samples of s
+                if not scan_path:
+                    delayed = jnp.concatenate([hist, xm], axis=1)[:, :B]
+                    s = xm
                 else:
                     # in-block recurrence: D independent lanes, each a
                     # one-pole over its own samples (the sharded stage's
@@ -258,10 +283,19 @@ class Delay:
                 new_hist = lax.dynamic_slice(buf, (0, sig.frames), (C, D))
                 return {"hist": new_hist}, sig.with_data(y)
 
+            if ring_path:
+                # 2L + B: the mirror write at pos+L (pos < L, width B)
+                # must never clamp
+                state0 = {
+                    "ring": jnp.zeros((C, 2 * L + B), jnp.float32),
+                    "pos": jnp.zeros((), jnp.int32),
+                }
+            else:
+                state0 = {"hist": jnp.zeros((C, D), jnp.float32)}
             self._component = Processor(
                 output=props,
                 step=step,
-                state={"hist": jnp.zeros((C, D), jnp.float32)},
+                state=state0,
                 params={
                     "feedback": jnp.asarray(self._feedback, jnp.float32),
                     "wet": jnp.asarray(self._wet, jnp.float32),
