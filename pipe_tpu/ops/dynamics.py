@@ -224,13 +224,26 @@ class Delay:
             B = block_size
             scan_path = can_feedback and D < B
             # D >= B: the delay line is a MIRRORED RING — every sample is
-            # written at ring index (pos mod L) AND (pos mod L) + L in a
-            # 2L buffer, so any L-window read is one contiguous slice and
-            # the per-block state traffic is O(B), not O(D) (the concat
-            # shift re-wrote all D samples per block — dominant for long
-            # echo lines; same mechanic as the UPOLS ring FDL,
-            # docs/PERF_NOTES.md). Reads precede writes and L = D + B, so
-            # the tap window [t-D, t-D+B) always holds valid history.
+            # written at its canonical ring index (pos mod L) AND at the
+            # mirror (pos mod L) + L, so any L-window read is one
+            # contiguous slice and the per-block state traffic is O(B),
+            # not O(D) (the concat shift re-wrote all D samples per block
+            # — dominant for long echo lines; same mechanic as the UPOLS
+            # ring FDL, docs/PERF_NOTES.md). Reads precede writes and
+            # L = D + B, so the tap window [t-D, t-D+B) always holds
+            # valid history.
+            #
+            # Layout: [pad B | canonical L | mirror L | pad B]. A block
+            # write lands at THREE starts: B+pos (canonical + spill into
+            # the mirror when it wraps), B+pos+L (mirror + spill into the
+            # right pad), and B+pos-L (left pad when there is no wrap —
+            # dynamic_update_slice clamps the negative start into the
+            # pad — or, on a wrap, exactly the canonical low indices
+            # [0, pos+B-L) that the first write could only reach as
+            # mirrors). Without the third write those low canonical
+            # slots went stale whenever pos+B > L, i.e. whenever
+            # delay_frames % block_size != 0 or after a partial block
+            # (ADVICE r3, high).
             ring_path = D >= B
             L = D + B
 
@@ -242,16 +255,21 @@ class Delay:
                 xm = jnp.where(idx < sig.frames, x, 0.0)
                 fb = params["feedback"]
                 if ring_path:
-                    ring = state["ring"]  # (C, 2L) mirrored
+                    ring = state["ring"]  # (C, B + 2L + B), see above
                     pos = state["pos"]  # stream position mod L
                     r0 = (pos - D) % L
-                    delayed = lax.dynamic_slice(ring, (0, r0), (C, B))
+                    delayed = lax.dynamic_slice(ring, (0, B + r0), (C, B))
                     s = xm + fb * delayed if can_feedback else xm
-                    ring = lax.dynamic_update_slice(ring, s, (0, pos))
-                    # mirror; pos <= L-1 and s is B wide, so pos+L+B <= 2L+
-                    # B-1 — pad the buffer by B so the mirror write never
-                    # clamps (the pad bytes are never read)
-                    ring = lax.dynamic_update_slice(ring, s, (0, pos + L))
+                    ring = lax.dynamic_update_slice(ring, s, (0, B + pos))
+                    ring = lax.dynamic_update_slice(
+                        ring, s, (0, B + pos + L)
+                    )
+                    # wrapped-write repair: clamps into the left pad when
+                    # pos + B <= L, else writes s's tail at canonical
+                    # [0, pos+B-L)
+                    ring = lax.dynamic_update_slice(
+                        ring, s, (0, pos + (B - L))
+                    )
                     y = params["dry"] * xm + params["wet"] * delayed
                     new_state = {
                         "ring": ring, "pos": (pos + sig.frames) % L
@@ -284,10 +302,11 @@ class Delay:
                 return {"hist": new_hist}, sig.with_data(y)
 
             if ring_path:
-                # 2L + B: the mirror write at pos+L (pos < L, width B)
-                # must never clamp
+                # B + 2L + B: left pad absorbs the no-wrap repair write,
+                # right pad the mirror write's spill (pad bytes are never
+                # read)
                 state0 = {
-                    "ring": jnp.zeros((C, 2 * L + B), jnp.float32),
+                    "ring": jnp.zeros((C, 2 * L + 2 * B), jnp.float32),
                     "pos": jnp.zeros((), jnp.int32),
                 }
             else:

@@ -156,14 +156,17 @@ def _fuse_gain_fir(procs: List, i: int) -> Optional[tuple]:
     if kinds == ("gain", "fir"):
         gain_obj, fir_obj = ta[1], tb[1]
         # don't starve the bigger rewrite: if the FIR is followed by a
-        # same-backend Resampler, let FIR+Resampler fuse first (the gain
-        # then stays a cheap standalone stage, as before this rule existed)
+        # same-backend Resampler AND the FIR+Resampler rule can actually
+        # fire (1-D taps only), let it fuse first (the gain then stays a
+        # cheap standalone stage, as before this rule existed). Deferring
+        # on 2-D per-channel taps would drop BOTH rewrites (ADVICE r3).
         if i + 2 < len(procs):
             tc = _tag(procs[i + 2])
             if (
                 tc is not None
                 and tc[0] == "resample"
                 and _is_sharded(tc[1]) == _is_sharded(fir_obj)
+                and _fir_taps(fir_obj).ndim == 1
             ):
                 return None
     elif kinds == ("fir", "gain"):

@@ -44,6 +44,99 @@ def test_delay_wet_dry_mix(rng):
     assert snr_db(oracle.astype(np.float64), y) >= SNR_TARGET
 
 
+def _stream_chunks(proc_allocs, x, block, chunks):
+    """Like ``stream_through`` but the source emits the given chunk
+    lengths in order (short mid-stream chunks = partial blocks)."""
+    import pipe_tpu as pt
+    from pipe_tpu import mock as _mock
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    C, N = x.shape
+    assert sum(chunks) == N
+    state = {"pos": 0, "i": 0}
+
+    def feed(block_size):
+        if state["i"] >= len(chunks):
+            return None
+        n = chunks[state["i"]]
+        assert n <= block_size
+        state["i"] += 1
+        chunk = x[:, state["pos"] : state["pos"] + n]
+        state["pos"] += n
+        return chunk
+
+    def src_alloc(mctx, block_size):
+        return Source(
+            output=SignalProperties(sample_rate=44100.0, channels=C),
+            feed=feed,
+        )
+
+    sink = _mock.Sink()
+    line = pt.Line(
+        source=src_alloc, processors=list(proc_allocs), sink=sink.sink()
+    )
+    pt.run(block, line)
+    return sink.values
+
+
+def test_pure_delay_ring_unaligned(rng):
+    """ADVICE r3 (high): ``D >= block`` with ``D % block != 0`` makes the
+    mirrored-ring write wrap mid-block (pos cycles through every residue
+    of L) — the repaired third write must keep the canonical low indices
+    fresh. Pre-fix this measured 9.5 dB."""
+    C, N, block, D = 2, 16384, 512, 600
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D)
+    y = stream_through([d.processor()], x, block)
+    oracle = np.zeros_like(x)
+    oracle[:, D:] = x[:, :-D]
+    assert snr_db(oracle.astype(np.float64), y) >= SNR_TARGET
+
+
+def test_pure_delay_ring_mastering_shape(rng):
+    """The examples/mastering_chain.py shape (D=11025, block 512) drives
+    the same wrapped-write path."""
+    C, N, block, D = 1, 3 * 11025 + 640, 512, 11025
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D, wet=1.0, dry=0.0)
+    y = stream_through([d.processor()], x, block)
+    oracle = np.zeros_like(x)
+    oracle[:, D:] = x[:, :-D]
+    assert snr_db(oracle.astype(np.float64), y) >= SNR_TARGET
+
+
+def test_pure_delay_ring_partial_midstream_block(rng):
+    """A short mid-stream chunk advances pos by a non-block stride —
+    every later write wraps at a new residue; history must stay exact."""
+    C, block, D = 2, 512, 1024
+    chunks = [512, 300, 512, 512, 129, 512, 512, 512, 77]
+    N = sum(chunks)
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D)
+    y = _stream_chunks([d.processor()], x, block, chunks)
+    oracle = np.zeros_like(x)
+    oracle[:, D:] = x[:, :-D]
+    assert y.shape == (C, N)
+    assert snr_db(oracle.astype(np.float64), y) >= SNR_TARGET
+
+
+def test_feedback_echo_ring_unaligned(rng):
+    """Feedback variant of the wrapped-ring regression (pre-fix 8.8 dB):
+    the recurrence reads the same canonical window it must repair."""
+    C, N, block, D, fb = 1, 16384, 512, 600, 0.5
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D, feedback=fb, wet=1.0, dry=0.3)
+    y = stream_through([d.processor()], x, block)
+    s = np.zeros(N)
+    out = np.zeros(N)
+    for n in range(N):
+        dtap = s[n - D] if n >= D else 0.0
+        s[n] = x[0, n] + fb * dtap
+        out[n] = 0.3 * x[0, n] + 1.0 * dtap
+    assert snr_db(out, y[0]) >= 90
+
+
 def test_feedback_echo(rng):
     C, N, block, D = 1, 8192, 512, 1024
     x = np.zeros((C, N), np.float32)

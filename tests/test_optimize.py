@@ -222,6 +222,43 @@ def test_fuse_gain_fir_does_not_starve_fir_resample(rng):
     assert snr_db(oracle, y) > 100
 
 
+def test_fuse_gain_fir_2d_taps_before_resampler_still_folds(rng):
+    """[Gain, FIR(2-D per-channel taps), Resampler]: FIR+Resampler cannot
+    fire (1-D taps only), so deferring the gain fold would drop BOTH
+    rewrites (ADVICE r3 low). The gain must fold into the FIR."""
+    C = 2
+    taps2d = np.stack([
+        np.asarray(ops.design_lowpass(63, 4000.0, 44100.0)),
+        np.asarray(ops.design_lowpass(63, 6000.0, 44100.0)),
+    ]).astype(np.float32)
+    g = ops.Gain(0.5)
+    f = ops.FIR(taps2d)
+    rs = ops.Resampler(160, 147)
+    line = optimize.fuse(_Line(
+        source=None, sink=None,
+        processors=[g.processor(), f.processor(), rs.processor()],
+    ))
+    assert _count(line.processors) == 2  # [FIRWithGain, Resampler]
+    from pipe_tpu.ops.fused import FIRWithGain
+
+    assert isinstance(g._delegate, FIRWithGain)
+    assert isinstance(f._delegate, FIRWithGain)
+    assert rs._delegate is None
+
+    x = rng.standard_normal((C, 147 * 20)).astype(np.float32)
+    y = stream_through(line.processors, x, 588)
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    fx = np.stack([
+        scipy.signal.lfilter(taps2d[c].astype(np.float64), [1.0],
+                             0.5 * x[c].astype(np.float64))
+        for c in range(C)
+    ])
+    oracle = _resample_oracle(fx, polyphase_design(160, 147, 32), 160, 147)
+    assert snr_db(oracle, y) > 100
+
+
 def test_fuse_mix_gain_length_mismatch_rejected():
     """A per-channel gain whose length doesn't match the folded matrix
     dimension fails at construction, not as a mid-stream XLA error."""
