@@ -134,7 +134,7 @@ def test_feedback_echo_ring_unaligned(rng):
         dtap = s[n - D] if n >= D else 0.0
         s[n] = x[0, n] + fb * dtap
         out[n] = 0.3 * x[0, n] + 1.0 * dtap
-    assert snr_db(out, y[0]) >= 90
+    assert snr_db(out, y[0]) >= 110
 
 
 def test_feedback_echo(rng):
@@ -171,7 +171,7 @@ def test_feedback_echo_short_delay(rng):
         dtap = s[n - D] if n >= D else 0.0
         s[n] = x[0, n] + fb * dtap
         out[n] = 0.3 * x[0, n] + 0.7 * dtap
-    assert snr_db(out, y[0]) >= 90  # f32 feedback recursion
+    assert snr_db(out, y[0]) >= 110  # docs/PERF_NOTES.md "Feedback echo"
 
 
 def test_feedback_echo_short_delay_partial_final_block(rng):
@@ -188,7 +188,29 @@ def test_feedback_echo_short_delay_partial_final_block(rng):
         s[n] = x[0, n] + fb * dtap
         out[n] = dtap
     assert y.shape == (C, N)
-    assert snr_db(out, y[0]) >= 90
+    assert snr_db(out, y[0]) >= 110
+
+
+def test_feedback_echo_high_fb_long_stream_floor(rng):
+    """VERDICT r3 item 1: the echo's measured precision floor. At
+    fb=0.95 (kappa = 1/(1-fb) = 20, far past any musical echo) over a
+    256-block stream the recurrence still holds ~134 dB because each
+    lane is revisited only every D samples and the per-visit f32
+    rounding is unamplified relative noise (docs/PERF_NOTES.md
+    "Feedback echo precision"). The 100 dB bar holds with >25 dB
+    margin; no dd treatment is needed."""
+    C, N, block, D, fb = 1, 131072, 512, 100, 0.95
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    d = ops.Delay(D, feedback=fb, wet=0.7, dry=0.3)
+    y = stream_through([d.processor()], x, block)
+    import scipy.signal
+
+    a = np.zeros(D + 1)
+    a[0], a[D] = 1.0, -fb
+    s = scipy.signal.lfilter([1.0], a, x.astype(np.float64), axis=1)
+    delayed = np.concatenate([np.zeros((C, D)), s[:, :-D]], axis=1)
+    out = 0.3 * x.astype(np.float64) + 0.7 * delayed
+    assert snr_db(out, y) > 125
 
 
 def test_envelope_block_matches_sequential(rng):
