@@ -47,7 +47,7 @@ from pipe_tpu import config
 from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 from pipe_tpu.parallel.halo import (
     exclusive_prefix,
-    exclusive_prefix_ladder,
+    broadcast_last,
     halo_from_left,
     last_shard,
 )
@@ -771,32 +771,54 @@ class GateStage(Stage):
         return {"env": new_env, "env_lo": new_lo}, x * g
 
 
+def _pow_int_traced(base, e):
+    """``base ** e`` for TRACED integer exponents ``e >= 0``, correct for
+    negative bases (the traced twin of ``ops.dynamics._pow_int``)."""
+    mag = jnp.abs(base) ** e.astype(jnp.float32)
+    sgn = jnp.where(
+        base < 0, 1.0 - 2.0 * (e % 2).astype(jnp.float32), 1.0
+    )
+    return mag * sgn
+
+
 class DelayStage(Stage):
     """Pure delay / feedback echo, time-sharded, for ANY ``delay_frames``.
 
-    Two regimes, decided STRUCTURALLY at build (by whether feedback is
-    requested, not by divisibility — r3, VERDICT r2 item 3):
+    The delay-line state is a TIME-SHARDED BLOCK RING (r4, VERDICT r3
+    item 2): each device carries its OWN last ``kc = ceil(D/N)`` local
+    blocks of the delayed stream (``N`` = global chunk frames), so carry
+    memory is O(C*D/T) per device and the carry update is a local roll —
+    zero collectives. (The r3 design replicated a (C, D) history on every
+    device, all_gather'ed the FULL chunk to refresh it when D > n_local,
+    and ppermuted two whole blocks for the multi-hop tap — the 3.05x/6.0x
+    traffic outliers in docs/PERF_NOTES.md.) The tap
+    ``d[i] = s[global_i - D]`` is one n-wide window of the virtual block
+    stream, split over at most two source blocks ``h = ceil(D/n)`` and
+    ``h-1`` hops to the left: two cyclic ``ppermute``s move EXACTLY the
+    needed (n-r)- and r-sample slices (``r = h*n - D``), each source
+    selecting the ring slot its destination's chunk-back distance asks
+    for — payload ratio ~1.0 chunk-size-independent.
 
-    - **pure delay** (``feedback == 0`` and ``allow_feedback`` not set):
-      the tap ``d[i] = s[global_i - D]`` reads from at most two source
-      blocks ``ceil(D/n_local)`` hops to the left (two static ``ppermute``
-      shifts) or from the carried D-sample history — so a delay LONGER
-      than the local chunk works. ``set_feedback`` on the wrapper raises
-      (the capability is structural, as in the streaming component).
-    - **feedback echo** ``s[n] = x[n] + fb * s[n-D]`` for arbitrary D:
-      the D-history transfer across one local chunk is an affine map with
-      a rotated index — ``h_out[j] = fb^{e_j} * h_in[(j + n) mod D] + b_j``
-      where ``e_j`` counts the recurrence steps touching that lane and
-      ``b_j`` is the locally-driven response (computed by a lane-parallel
-      associative scan over left-padded rows of D). These maps compose
-      associatively (rotation adds, gains multiply lane-wise), so an
-      exclusive prefix over the time axis recovers each device's true
-      entering history; the delayed tap then needs NO extra exchange
-      (``d[i] = h_in[i]`` for ``i < D``, else the local ``s[i-D]``).
-      ``feedback`` stays a LIVE traced parameter. The prefix moves
-      O(T * C * D) bytes per step (the history IS the state), so very long
-      feedback delays on wide meshes are collective-heavy — pure delays
-      are not.
+    Three regimes:
+
+    - **pure delay** (no feedback requested, ``D < N``): ring of the
+      input stream x; ``set_feedback`` on the wrapper raises (structural
+      capability, as in the streaming component).
+    - **feedback free** (``D >= N``): the tap reads only PREVIOUS chunks,
+      so the recurrence ``s[n] = x[n] + fb*s[n-D]`` never crosses devices
+      within a chunk — the ring stores s and feedback is structurally
+      free (mirroring the streaming ring at ``D >= block_size``);
+      ``feedback`` is a live traced parameter.
+    - **feedback echo with** ``D < N``: the recurrence crosses device
+      boundaries; the D-history transfer across one m-sample segment is
+      an affine map with a rotated index — lane j gets gain
+      ``fb^{(m+j)//D}`` and rotation ``m % D``, both CLOSED FORMS in m —
+      so only the (C, D) offset vectors ride the cross-device exclusive-
+      prefix ppermute ladder (the r3 ladder also shipped the (D,) gain
+      vector and the rotation per hop). The entering history recovered,
+      the delayed tap needs no extra exchange. The ladder moves
+      O(C*D*log T) bytes per step with D < N bounded by the chunk — see
+      docs/PERF_NOTES.md "Delay traffic".
     """
 
     def __init__(self, delay_frames: int, feedback: float = 0.0,
@@ -816,85 +838,98 @@ class DelayStage(Stage):
 
     def build(self, c_global, c_local, n_local):
         D = self.delay_frames
+        T = max(1, int(self.time_shards))
+        N = n_local * T  # global chunk frames
+        self._n, self._T, self._N = n_local, T, N
+        # D >= N makes feedback structurally free (the tap only reads
+        # previous chunks), mirroring the streaming ring at D >= block
         self.can_feedback = (
-            self._allow_feedback
-            if self._allow_feedback is not None
-            else self._init["feedback"] != 0.0
+            D >= N
+            or self._init["feedback"] != 0.0
+            or bool(self._allow_feedback)
         )
-        self.carry = {"hist": jnp.zeros((c_global, D), jnp.float32)}
+        self._ladder = self.can_feedback and D < N
         self.params = {
             k: jnp.asarray(v, jnp.float32) for k, v in self._init.items()
         }
-        self.carry_spec = {"hist": P(CH_AXIS, None)}
         self.param_spec = {k: P() for k in self._init}
+        if self._ladder:
+            # D < N: the replicated history is bounded by the chunk
+            self.carry = {"hist": jnp.zeros((c_global, D), jnp.float32)}
+            self.carry_spec = {"hist": P(CH_AXIS, None)}
+        else:
+            kc = -(-D // N)
+            self._kc = kc
+            # block ring: device g's columns hold ITS OWN blocks from
+            # chunk-back kc..1 (oldest first) — carry memory /T
+            self.carry = {"ring": jnp.zeros((c_global, kc * N), jnp.float32)}
+            self.carry_spec = {"ring": P(CH_AXIS, TIME_AXIS)}
         self.out_c_global, self.out_c_local, self.out_n_local = (
             c_global, c_local, n_local,
         )
 
-    # -- pure-delay tap: multi-hop halo ---------------------------------
+    # -- block-ring tap: exact-slice cyclic fetch ------------------------
 
-    def _delayed_tap(self, s, hist):
-        """``d[i] = s_global[start + i - D]`` from two ppermute'd source
-        blocks and the carried history. ``s`` is the local (C, n) stream
-        the tap reads (x for pure delay)."""
-        C, n = s.shape
-        D = self.delay_frames
-        h = -(-D // n)  # source blocks are h and h-1 hops left
-        r = h * n - D  # 0 <= r < n: offset of the tap window in block g-h
-        if h == 1:
-            # one-hop case: only the left neighbor's last D samples are
-            # remote — permute exactly those (a whole-block permute would
-            # move n/D times the needed bytes)
-            left = halo_from_left(s, D, TIME_AXIS, hist)
-            return jnp.concatenate([left, s], axis=1)[:, :n]
-        T = lax.axis_size(TIME_AXIS)
+    def _fetch(self, ring, x, k, lo, hi):
+        """Columns ``[lo, hi)`` of virtual stream block ``g - k`` (``g``
+        = this device's time index; block ``-m`` = the stream's m-th
+        block back, owned by device ``(g-k) mod T`` at chunk-back
+        ``ceil((k - dst)/T)``). Each device ships only the [lo, hi)
+        window its single cyclic destination needs; reads past the ring
+        depth (stream prehistory) resolve to zeros. ``x = None`` asserts
+        the current chunk is never needed (the D >= N feedback ring)."""
+        n, T, kc = self._n, self._T, self._kc
+        C = ring.shape[0]
+        w = hi - lo
+        if w <= 0:
+            return jnp.zeros((C, 0), ring.dtype)
+        if k == 0:
+            return x[:, lo:hi]
         g = lax.axis_index(TIME_AXIS)
-
-        def shift(v, hops):
-            if hops == 0:
-                return v
-            if hops >= T:
-                return jnp.zeros_like(v)
-            return lax.ppermute(
-                v, TIME_AXIS, perm=[(i, i + hops) for i in range(T - hops)]
-            )
-
-        buf = jnp.concatenate([shift(s, h), shift(s, h - 1)], axis=1)
-        block_cand = buf[:, r : r + n]
-        # history candidate: hist index g*n + i for positions before the
-        # chunk start (clamped slice; unused lanes are masked off below)
-        histpad = jnp.concatenate(
-            [hist, jnp.zeros((C, n), jnp.float32)], axis=1
+        dst = (g + k) % T
+        # chunk-backs my destination needs (0 = its current chunk)
+        q = jnp.maximum((k - dst + T - 1) // T, 0)
+        # send-buffer slots: [zeros | back-kc .. back-1 | current];
+        # back-q lives at slot kc+1-q, clamped onto the zero slot for
+        # prehistory
+        cur = x if x is not None else jnp.zeros((C, n), ring.dtype)
+        buf = jnp.concatenate(
+            [jnp.zeros((C, n), ring.dtype), ring, cur], axis=1
         )
-        off = jnp.minimum(g * n, jnp.asarray(D, jnp.int32))
-        hist_cand = lax.dynamic_slice(histpad, (0, off), (C, n))
-        pos = g * n - D + jnp.arange(n, dtype=jnp.int32)  # global tap index
-        return jnp.where(pos[None, :] < 0, hist_cand, block_cand)
-
-    def _gather_last(self, s, hist):
-        """The trailing D samples of [carried history, global chunk] of
-        ``s`` — the next chunk's history carry (replicated). When D exceeds
-        the whole chunk, part of the OLD history survives into the new
-        one."""
-        D = self.delay_frames
-        C, n = s.shape
-        if D <= n:
-            return last_shard(s[:, -D:], TIME_AXIS)
-        g = lax.all_gather(s, TIME_AXIS, axis=0)  # (T, C, n)
-        flat = jnp.transpose(g, (1, 0, 2)).reshape(C, -1)
-        return jnp.concatenate([hist, flat], axis=1)[:, -D:]
+        slot = jnp.clip(kc + 1 - q, 0, kc + 1)
+        send = lax.dynamic_slice(buf, (0, slot * n + lo), (C, w))
+        hops = k % T
+        if hops == 0:
+            return send  # own ring slot: no communication
+        return lax.ppermute(
+            send, TIME_AXIS, perm=[(i, (i + hops) % T) for i in range(T)]
+        )
 
     def apply(self, carry, params, x):
         from pipe_tpu.ops.dynamics import _affine1_combine
 
         C, n = x.shape
         D = self.delay_frames
-        hist = carry["hist"]  # (C, D): trailing D samples of s
-        if not self.can_feedback:
-            delayed = self._delayed_tap(x, hist)
+        if not self._ladder:
+            ring = carry["ring"]  # (C, kc*n) own previous blocks
+            h = -(-D // n)
+            r = h * n - D  # 0 <= r < n: window offset in block g-h
+            # tap window [g*n - D, g*n - D + n) = block(g-h)[r:] ++
+            # block(g-h+1)[:r]; for D >= N both pieces predate this
+            # chunk, so the ring may store s and feedback is free
+            xcur = None if self.can_feedback else x
+            delayed = jnp.concatenate(
+                [
+                    self._fetch(ring, xcur, h, r, n),
+                    self._fetch(ring, xcur, h - 1, 0, r),
+                ],
+                axis=1,
+            )
+            s = x + params["feedback"] * delayed if self.can_feedback else x
             y = params["dry"] * x + params["wet"] * delayed
-            return {"hist": self._gather_last(x, hist)}, y
+            return {"ring": jnp.concatenate([ring[:, n:], s], axis=1)}, y
 
+        hist = carry["hist"]  # (C, D): trailing D samples of s
         fb = params["feedback"]
         # 1) locally-driven response s0 (zero entering history): lane-
         # parallel scan over left-padded rows of D (pad lanes are zero, so
@@ -907,38 +942,57 @@ class DelayStage(Stage):
         s0 = s0_rows.reshape(C, m * D)[:, w:]
 
         # 2) per-device history transfer h_out[j] = fb^e_j h_in[(j+n)%D] + b_j
+        # with e_j = (n+j)//D: the closed form of the lane-touch count
+        # over an n-sample segment (0 for untouched lanes)
         from pipe_tpu.ops.dynamics import _pow_int as pow_int
 
         j = np.arange(D)
         p = n - D + j  # position feeding lane j (negative = untouched)
-        e = np.where(p >= 0, p // D + 1, 0)
         touched = jnp.asarray(p >= 0)
-        a_dev = jnp.where(touched, pow_int(fb, e), 1.0)  # (D,)
+        a_dev = pow_int(fb, (n + j) // D)  # (D,); fb^0 = 1 on untouched
         b_dev = jnp.where(
             touched[None, :], s0[:, np.clip(p, 0, None)], 0.0
         )  # (C, D)
-        rho_dev = jnp.asarray(n % D, jnp.int32)
 
-        def combine(left, right):
-            rl, al, bl = left
-            rr, ar, br = right
-            return (
-                (rl + rr) % D,
-                ar * jnp.roll(al, -rr),
-                ar[None, :] * jnp.roll(bl, -rr, axis=1) + br,
-            )
+        # cross-device entering history via an OFFSETS-ONLY exclusive-
+        # prefix ladder: the gain/rotation of any m-sample segment has
+        # the closed form (fb^{(m+j)//D}, m % D), so devices derive them
+        # locally from the traced segment length and only the (C, D)
+        # offsets ride the ppermute ladder (the r3 ladder also shipped
+        # the (D,) gains and the rotation per hop).
+        jD = jnp.arange(D, dtype=jnp.int32)
 
-        unit = (
-            jnp.asarray(0, jnp.int32),
-            jnp.ones((D,), jnp.float32),
-            jnp.zeros((C, D), jnp.float32),
-        )
-        # the transfer payload is O(C*D): the ppermute ladder moves
-        # log2(T) copies instead of the gather's T
-        pre_r, pre_a, pre_b = exclusive_prefix_ladder(
-            TIME_AXIS, combine, unit, (rho_dev, a_dev, b_dev)
-        )
+        def seg_map(m):
+            """(gains, rotation) of the composed transfer over a traced
+            m-sample segment."""
+            return _pow_int_traced(fb, (m + jD) // D), m % D
+
+        T = lax.axis_size(TIME_AXIS)
+        idx = lax.axis_index(TIME_AXIS)
+        if T == 1:
+            pre_b = jnp.zeros_like(b_dev)
+        else:
+
+            def shift_right(v, hops):
+                return lax.ppermute(
+                    v, TIME_AXIS,
+                    perm=[(i, i + hops) for i in range(T - hops)],
+                )
+
+            # Hillis-Steele over seeds: acc_d covers segment
+            # [max(0, d-k), d) before the step-k round, so the combine's
+            # later-segment map is seg_map(min(d, k) * n)
+            acc = jnp.where(idx == 0, 0.0, shift_right(b_dev, 1))
+            k = 1
+            while k < T:
+                recv = shift_right(acc, k)
+                a_acc, r_acc = seg_map(jnp.minimum(idx, k) * n)
+                comb = a_acc[None, :] * jnp.roll(recv, -r_acc, axis=1) + acc
+                acc = jnp.where(idx >= k, comb, acc)
+                k *= 2
+            pre_b = acc
         # entering history for this device
+        pre_a, pre_r = seg_map(idx * n)
         h_in = pre_a[None, :] * jnp.roll(hist, -pre_r, axis=1) + pre_b
 
         # 3) boundary correction: s[i] = s0[i] + fb^{i//D + 1} h_in[i % D]
@@ -956,7 +1010,7 @@ class DelayStage(Stage):
         # 5) carry: every device applies its OWN transfer to its h_in; the
         # last device's result is the global exit history
         h_out = a_dev[None, :] * jnp.roll(h_in, -(n % D), axis=1) + b_dev
-        return {"hist": last_shard(h_out, TIME_AXIS)}, y
+        return {"hist": broadcast_last(h_out, TIME_AXIS)}, y
 
 
 class ChannelizerStage(Stage):

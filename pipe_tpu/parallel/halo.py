@@ -48,6 +48,16 @@ def last_shard(value, axis_name: str):
     return gathered[-1]
 
 
+def broadcast_last(value, axis_name: str):
+    """Replicate the LAST device's ``value`` to every device, as a masked
+    ``psum`` — output bytes are one value per device (vs the all_gather's
+    T in :func:`last_shard`), the right choice when the value is LARGE
+    (the Delay feedback exit history is O(C*D))."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    return lax.psum(jnp.where(idx == n - 1, value, 0.0), axis_name)
+
+
 def exclusive_prefix_ladder(axis_name: str, combine, unit, value):
     """Exclusive prefix-combine via a Hillis–Steele ppermute ladder:
     ``ceil(log2(T))`` rounds moving one value-tree per round, instead of

@@ -91,31 +91,55 @@ CASES = [
         32768,
         0.3,
     ),
-    # pure delay, small D <= n_local: a D-sample halo + D-tail carry gather
-    ("delay_pure_300", lambda: [par.DelayStage(300, wet=1.0)], 32768, 0.25),
-    # pure delay, LARGE D still <= n_local (one-hop): halo + carry both
-    # scale with D — replicating O(D) of delay-line state is inherent
+    # Delay (r4, VERDICT r3 item 2): time-sharded block ring — the tap
+    # moves EXACTLY the needed D-or-n-wide window slices; the carry
+    # update is a local roll (zero collectives). Measured 0.037.
+    ("delay_pure_300", lambda: [par.DelayStage(300, wet=1.0)], 32768, 0.05),
+    # one-hop, D-wide slice: ratio = D/n_local = 0.61 (was 3.05 with the
+    # replicated-history design)
     (
         "delay_pure_5000",
         lambda: [par.DelayStage(5000, wet=1.0)],
         32768,
-        3.5,
+        0.75,
     ),
-    # pure delay, D > n_local (n_local = 8192 here): the MULTI-HOP regime —
-    # two whole-block ppermutes + the full-block carry gather
+    # D > n_local (n_local = 8192 here): the MULTI-HOP regime — two
+    # exact-window slices totalling n samples: ratio = 1.0 exactly
+    # (was 6.0 with two whole-block permutes + the full-chunk gather)
     (
         "delay_pure_20000_multihop",
         lambda: [par.DelayStage(20000, wet=1.0)],
         32768,
-        6.5,
+        1.2,
     ),
-    # feedback delay: the rotated-affine ladder moves log2(T)=2 copies of
-    # the O(C*D) transfer per step (a gather would move T=4)
+    # feedback, D < chunk: the offsets-only ladder moves
+    # (log2(T)+1)=3 (C, D) copies + one psum carry rebroadcast;
+    # ratio = 4*D/n_local. Measured 0.146 (was 0.26 when the (D,) gains
+    # and the rotation rode the ladder and the carry was all_gathered).
     (
         "delay_feedback_300",
         lambda: [par.DelayStage(300, feedback=0.5)],
         32768,
-        0.35,
+        0.2,
+    ),
+    # feedback, the ladder's worst corner (large D still < chunk):
+    # bounded by 4*D/n_local with D < chunk. Measured 2.44 (r3: 4.27
+    # plus it degraded toward ~7 as D -> chunk).
+    (
+        "delay_feedback_5000",
+        lambda: [par.DelayStage(5000, feedback=0.5)],
+        32768,
+        2.9,
+    ),
+    # feedback, D >= chunk: structurally FREE — the ring stores the
+    # summed stream and the recurrence never crosses devices in-chunk;
+    # same exact-slice traffic as a pure delay (<= 1.0; the aligned hop
+    # here is even local). Measured 0.883.
+    (
+        "delay_feedback_40000",
+        lambda: [par.DelayStage(40000, feedback=0.5)],
+        32768,
+        1.0,
     ),
 ]
 
@@ -128,6 +152,28 @@ def test_stage_collective_ratio(name, stages, chunk, bound):
         "a stage started over-communicating (or the bound needs a "
         "deliberate, documented update in docs/PERF_NOTES.md)"
     )
+
+
+def test_delay_ring_carry_is_time_sharded():
+    """The Delay block ring must stay time-sharded (memory /T): a
+    regression to the r3 replicated (C, D) history would multiply state
+    memory by the time-axis size AND force the full-chunk gather back."""
+    from jax.sharding import PartitionSpec as P
+    from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
+
+    for D, fb in ((20000, 0.0), (40000, 0.5)):
+        st = par.DelayStage(D, feedback=fb, wet=1.0)
+        st.time_shards = 4
+        st.build(16, 8, 8192)
+        assert st.carry_spec == {"ring": P(CH_AXIS, TIME_AXIS)}
+        kc = -(-D // 32768)
+        # per-device share = kc blocks of n_local, NOT O(D) replicated
+        assert st.carry["ring"].shape == (16, kc * 32768)
+    # D < chunk with feedback: the replicated history is bounded by D
+    st = par.DelayStage(5000, feedback=0.5)
+    st.time_shards = 4
+    st.build(16, 8, 8192)
+    assert st.carry["hist"].shape == (16, 5000)
 
 
 def test_ols_distributed_fdl_carry_is_sharded():

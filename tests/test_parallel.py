@@ -674,14 +674,16 @@ def test_delay_stage_feedback_non_dividing_delay(rng):
 
 def test_delay_stage_pure_delay_longer_than_local_chunk(rng):
     """VERDICT r2 item 3: pure delay with D=5000 > n_local=1024 — the tap
-    is a multi-hop ppermute plus the carried history."""
+    is a multi-hop exact-slice fetch from the block ring. D >= chunk
+    makes feedback structurally FREE (r4: the ring stores the summed
+    stream, mirroring the streaming ring at D >= block_size)."""
     D = 5000
     x = rng.standard_normal((2, 4096 * 3)).astype(np.float32)
     st = parallel.DelayStage(D, wet=1.0, dry=0.25)
     chain = parallel.ShardedChain(
         parallel.make_mesh(1, 4), [st], channels=2, chunk_frames=4096
     )
-    assert not st.can_feedback
+    assert st.can_feedback  # free at D >= chunk_frames
     out = chain.process(x)
     delayed = np.concatenate(
         [np.zeros((2, D), np.float64), x.astype(np.float64)[:, :-D]], axis=1
@@ -715,6 +717,35 @@ def test_delay_stage_feedback_high_fb_long_stream_floor(rng):
     )
     out = chain.process(x)
     assert snr_db(_echo_oracle(x, D, fb, 0.7, 0.3), out) > 120
+
+
+def test_delay_block_ring_parity_2x4_mesh(rng):
+    """VERDICT r3 item 2: the time-sharded block ring holds >=100 dB on
+    the 2x4 (channels x time) mesh across all three regimes — one-hop
+    pure, multi-hop pure, and ring feedback (D >= chunk)."""
+    mesh = parallel.make_mesh(2, 4)
+    chunk = 4096  # n_local = 1024
+    x = rng.standard_normal((4, chunk * 4)).astype(np.float32)
+    # one-hop pure (D=700 < n_local), multi-hop pure (D=5000 > chunk)
+    for D in (700, 5000):
+        st = parallel.DelayStage(D, wet=1.0, dry=0.25)
+        chain = parallel.ShardedChain(mesh, [st], channels=4,
+                                      chunk_frames=chunk)
+        out = chain.process(x)
+        delayed = np.concatenate(
+            [np.zeros((4, D), np.float64), x.astype(np.float64)[:, :-D]],
+            axis=1,
+        )
+        sn = snr_db(0.25 * x.astype(np.float64) + delayed, out)
+        assert sn > 100, f"D={D}: {sn:.1f} dB"
+    # ring feedback: D=6000 >= chunk=4096 (free feedback, s in the ring)
+    D, fb = 6000, 0.6
+    st = parallel.DelayStage(D, feedback=fb, wet=0.8, dry=0.5)
+    chain = parallel.ShardedChain(mesh, [st], channels=4, chunk_frames=chunk)
+    assert st.can_feedback
+    out = chain.process(x)
+    sn = snr_db(_echo_oracle(x, D, fb, 0.8, 0.5), out)
+    assert sn > 110, f"{sn:.1f} dB"
 
 
 def test_delay_contradictory_feedback_args_rejected():
