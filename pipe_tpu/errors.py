@@ -19,6 +19,17 @@ class AllocationError(PipeError):
     ``line.go:63-81``)."""
 
 
+class ShapeConstraintError(ValueError):
+    """A sharded stage's shape rule failed for the OFFERED local chunk —
+    a constraint a LARGER chunk satisfies (halo > n_local, resampler
+    phase divisibility, spectral grid rules). The mesh runtime catches
+    this during allocation and retries with an aggregated block (several
+    user blocks dispatched as one chunk) until every stage's rule holds —
+    the any-block-size contract of the reference (``pipe.go:90``).
+    Non-shape errors (wrong channel counts, bad params) stay plain
+    ``ValueError`` and fail the build immediately."""
+
+
 class StartError(PipeError):
     """A start hook failed (``run.go:177-179,201-203``)."""
 

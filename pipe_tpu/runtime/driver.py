@@ -7,7 +7,7 @@ from typing import Optional
 
 from pipe_tpu import mutable
 from pipe_tpu.errors import ErrorRun, RunError, StartError
-from pipe_tpu.graph import Line, make_route
+from pipe_tpu.graph import Line, make_route, make_routes_aggregated
 from pipe_tpu.runtime.executor import EOF, LineExecutor, MultiLineExecutor
 
 
@@ -71,22 +71,32 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
 
     mctx = mutable.mutable()
     mle = MultiLineExecutor(context=mctx)
-    for i, line in enumerate(lines):
-        bound = Line(
+    bound_lines = [
+        Line(
             source=line.source,
             processors=line.processors,
             sink=line.sink,
             context=mctx,
         )
-        with mesh_scope(mesh):
-            route = make_route(bound, block_size)  # raises AllocationError
+        for line in lines
+    ]
+    with mesh_scope(mesh):
+        if mesh is None:
+            routes = [make_route(b, block_size) for b in bound_lines]
+            internal = block_size
+        else:
+            # any-block-size contract: aggregate user blocks until every
+            # stage's shape rule holds (graph.make_routes_aggregated)
+            routes, agg = make_routes_aggregated(bound_lines, block_size, mesh)
+            internal = agg * block_size
+    for i, route in enumerate(routes):
         ls = None
         if stats is not None:
             ls = stats.line(
-                f"line{i}", block_size, route.source.output.channels
+                f"line{i}", internal, route.source.output.channels
             )
         mle.executors.append(
-            LineExecutor(route, block_size, stats=ls, lookahead=lookahead,
+            LineExecutor(route, internal, stats=ls, lookahead=lookahead,
                          batch_blocks=batch_blocks, mesh=mesh)
         )
     run_executor(mle, cancel=cancel)

@@ -146,10 +146,14 @@ class LineExecutor:
                 f"time axis ({t_shards})"
             )
         cin = self.route.source.output.channels
-        if cin % ch_shards:
+        if cin % ch_shards and self.route.source.feed is None:
+            # host-FED lines zero-pad channel rows to the shard multiple
+            # (sliced off at the sink); a device source generates its own
+            # data inside shard_map, where padding cannot be injected
             raise ValueError(
-                f"source channels {cin} not divisible by the mesh channel "
-                f"axis ({ch_shards})"
+                f"device-source channels {cin} not divisible by the mesh "
+                f"channel axis ({ch_shards}); pad the source or use a "
+                "host-fed source"
             )
         if t_shards > 1:
             for c in self.route.components():
@@ -168,6 +172,18 @@ class LineExecutor:
         non-addressable devices) and host-visible outputs are replicated so
         every host's sink sees the whole stream."""
         return self.mesh is not None and jax.process_count() > 1
+
+    @property
+    def _c_pad(self) -> int:
+        """Host-fed channel rows padded to the mesh channel-axis multiple
+        (zero rows end to end; sliced off before the sink)."""
+        c = self.route.source.output.channels
+        if self.mesh is None:
+            return c
+        from pipe_tpu.parallel.mesh import CH_AXIS
+
+        ch = self.mesh.shape[CH_AXIS]
+        return -(-c // ch) * ch
 
     def _put_global(self, value, spec):
         """Place a host array with a mesh sharding — every process holds
@@ -472,6 +488,17 @@ class LineExecutor:
                 (data.shape[0], self.block_size - n), dtype=data.dtype
             )
             data = np.concatenate([data, pad], axis=1)
+        c_pad = self._c_pad
+        if data.shape[0] < c_pad:
+            data = np.concatenate(
+                [
+                    data,
+                    np.zeros(
+                        (c_pad - data.shape[0], data.shape[1]), data.dtype
+                    ),
+                ],
+                axis=0,
+            )
         return np.asarray(data, np.float32), n
 
     def _fed_to_device(self, data, frames, stacked: bool):
@@ -602,7 +629,11 @@ class LineExecutor:
                     data, frames = blk
                     n = int(frames)
                     if n > 0:
-                        sink.receive(data[:, :n])
+                        # slice off channel pad rows (host-fed mesh lines)
+                        c_out = self.route.prev_props(
+                            len(self.route.processors)
+                        ).channels
+                        sink.receive(data[:c_out, :n])
         return None
 
     def dispatch_noop_to(self, target: int):
@@ -620,9 +651,8 @@ class LineExecutor:
         while self.blocks_dispatched < target:
             states = jax.tree.map(jnp.copy, self._states())  # donation-safe
             if src.feed is not None:
-                C = src.output.channels
                 fed = self._fed_to_device(
-                    np.zeros((C, self.block_size), np.float32), 0,
+                    np.zeros((self._c_pad, self.block_size), np.float32), 0,
                     stacked=False,
                 )
                 step1(states, self._params(), fed)

@@ -339,17 +339,105 @@ def test_mesh_biquad_extended_precision_pipe(rng):
     assert snr > 100, f"{snr:.1f} dB"
 
 
-def test_mesh_requires_divisibility():
+def test_mesh_any_block_size_aggregates(rng):
+    """r4 (VERDICT r3 item 3): a block size that does not divide the time
+    axis no longer builds-errors — the pipe aggregates the smallest
+    multiple of the user block that fits the mesh (1001 * 4 here) and the
+    stream is sample-exact. Off-grid at_block targets raise the grid
+    error instead of landing elsewhere."""
     mesh = parallel.make_mesh(1, 4)
-    src = mock.Source(channels=2, value=1.0, limit=1000)
-    sink = mock.Sink(discard=True)
-    with pytest.raises(Exception, match="divisible"):
-        p = pipe_tpu.Pipe(
-            1001,  # not divisible by 4 time shards
-            pipe_tpu.Line(source=src.source(), sink=sink.sink()),
-            mesh=mesh,
-        )
-        run_pipe(p)
+    C, BLOCK = 2, 1001
+    data = rng.standard_normal((C, BLOCK * 8)).astype(np.float32)
+    g = parallel.sharded.Gain(0.5)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[g.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    assert p._agg == 4
+    p.start()
+    with pytest.raises(ValueError, match="dispatch grid"):
+        p.push(g.set_gain(0.25), at_block=5)  # not a multiple of 4
+    p.wait(60)
+    out = sink.values
+    assert out.shape == (C, BLOCK * 8)
+    assert snr_db(0.5 * data.astype(np.float64), out) > 130
+
+
+def test_mesh_weird_shape_matrix(rng):
+    """VERDICT r3 item 3 'Done' criterion: 6 channels, block 1000, 2x4
+    mesh, 44.1k -> 48k polyphase resample builds (block aggregation finds
+    a = 147) and matches the streaming engine >= 100 dB."""
+    from tests.test_ops import stream_through
+
+    mesh = parallel.make_mesh(2, 4)
+    C, BLOCK = 6, 1000
+    N = 147000 + 4 * 1000  # one aggregated dispatch + a partial tail
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    h = ops.design_lowpass(63, 4000.0, 44100.0)
+    fir = parallel.sharded.FIR(h)
+    rs = parallel.sharded.Resample(48000, 44100)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor(), rs.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    assert p._agg == 147  # 44.1k->48k phase rule at block 1000, T=4
+    run_pipe(p)
+    out = sink.values
+
+    streamed = stream_through(
+        [ops.FIR(h).processor(), ops.Resampler(48000, 44100).processor()],
+        data, block=1000,
+    )
+    n = min(out.shape[1], streamed.shape[1])
+    assert n >= N * 160 // 147 - 160
+    snr = snr_db(streamed[:, :n].astype(np.float64), out[:, :n])
+    assert snr > 100, f"{snr:.1f} dB"
+
+
+def test_mesh_channel_padding_line(rng):
+    """Channels that do not divide the mesh channel axis ride zero pad
+    rows: 6 channels on a 4-way channel axis (pad to 8), per-channel
+    2-D taps, sliced back to 6 at the sink."""
+    mesh = parallel.make_mesh(4, 2)
+    C, BLOCK = 6, 2048
+    data = rng.standard_normal((C, BLOCK * 4)).astype(np.float32)
+    taps2d = np.stack(
+        [np.asarray(ops.design_lowpass(63, 2000.0 + 500 * c, 44100.0))
+         for c in range(C)]
+    ).astype(np.float32)
+    fir = parallel.sharded.FIR(taps2d)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=feed_source(data, C),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    out = sink.values
+    assert out.shape == (C, BLOCK * 4)
+    oracle = np.stack([
+        scipy.signal.lfilter(taps2d[c].astype(np.float64), [1.0],
+                             data[c].astype(np.float64))
+        for c in range(C)
+    ])
+    snr = snr_db(oracle, out)
+    assert snr > 100, f"{snr:.1f} dB"
 
 
 def test_mesh_stateful_component_needs_spec():
