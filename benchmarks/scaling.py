@@ -135,6 +135,19 @@ def collective_bytes(hlo_text: str) -> dict:
     return out
 
 
+def collective_ops(hlo_text: str) -> int:
+    """Count collective OP DEFINITIONS in optimized HLO — the dependency-
+    structure twin of :func:`collective_bytes`: a log-ladder prefix emits
+    O(log T) collectives, a serialized (unrolled) cross-device scan O(T).
+    CI asserts sublinear growth (tests/test_scaling_smoke.py)."""
+    n = 0
+    for line in hlo_text.splitlines():
+        m = _KIND_RE.search(line)
+        if m is not None and "=" in line[: m.start()]:
+            n += 1
+    return n
+
+
 def account_collectives():
     from pipe_tpu import parallel as par
 

@@ -1,0 +1,113 @@
+"""Virtual-mesh scaling smoke (VERDICT r3 item 4): time + structure.
+
+Byte accounting (``tests/test_collectives.py``) bounds how much the stages
+communicate, but says nothing about DEPENDENCY STRUCTURE — a stage whose
+cross-device prefix accidentally serializes (unrolls to T dependent
+collectives instead of a log ladder / gather+local-scan) keeps its byte
+ratio while destroying scaling. Two CI detectors close that hole:
+
+1. **Collective-op growth** (deterministic): the number of collective ops
+   in the compiled step must grow at most logarithmically with the time
+   axis. An unrolled serialized scan grows linearly (count(8) ~ 4x
+   count(2)) and fails here with zero timing noise.
+2. **Wall-clock trend** (lenient): a fixed GLOBAL payload stepped on 1 vs
+   8 virtual devices must not blow up. On shared-core CPU "devices" the
+   cores bound throughput either way, so this cannot measure true ICI
+   efficiency (docs/PERF_NOTES.md records the caveat with the measured
+   table) — but a pathological regression (per-step recompile, host sync
+   per sample) still trips the generous bound.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+from pipe_tpu import ops, parallel as par  # noqa: E402
+
+from benchmarks.scaling import collective_bytes, collective_ops  # noqa: E402
+
+
+def _compiled_text(stages, channels, chunk, t):
+    mesh = par.make_mesh(1, t)
+    chain = par.ShardedChain(mesh, stages, channels=channels, chunk_frames=chunk)
+    x = np.zeros((channels, chunk), np.float32)
+    return chain._step.lower(chain.carries, chain.params(), x).compile().as_text()
+
+
+SCAN_STAGES = [
+    # the cross-device-recurrence stages: the ones a serialized prefix
+    # would silently ruin
+    (
+        "biquad",
+        lambda: [par.BiquadStage(
+            ops.design_peaking_eq(44100, freq=1000, q=2.0, gain_db=6.0)
+        )],
+    ),
+    ("compressor", lambda: [par.CompressorStage()]),
+    ("delay_feedback", lambda: [par.DelayStage(1000, feedback=0.5)]),
+    ("fir", lambda: [par.FIRStage(ops.design_lowpass(255, 4000, 44100))]),
+]
+
+
+@pytest.mark.parametrize("name,factory", SCAN_STAGES, ids=[s[0] for s in SCAN_STAGES])
+def test_collective_op_count_grows_sublinearly(name, factory):
+    """count(T=8) must stay within log-ladder growth of count(T=2): an
+    unrolled serialized cross-device scan quadruples it instead."""
+    # chunk divisible by 8 and by every stage grid; per-device work equal
+    chunk = 32768
+    c2 = collective_ops(_compiled_text(factory(), 8, chunk, 2))
+    c8 = collective_ops(_compiled_text(factory(), 8, chunk, 8))
+    # log2(8/2) = 2 extra rounds per ladder; allow 3 ladders + slack.
+    # Serialization (T vs log T) would give c8 ~ 4 * c2.
+    assert c8 <= 2 * c2 + 8, (
+        f"{name}: collective op count grew {c2} -> {c8} from T=2 to T=8 — "
+        "a cross-device recurrence may have serialized (expected "
+        "logarithmic ladder growth)"
+    )
+
+
+def _step_time(stages, channels, chunk, t, reps=3):
+    mesh = par.make_mesh(1, t)
+    chain = par.ShardedChain(mesh, stages, channels=channels, chunk_frames=chunk)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((channels, chunk)).astype(np.float32)
+    y = chain.step(x)
+    np.asarray(y)  # compile + settle
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        y = chain.step(x)
+        np.asarray(y)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def test_wall_clock_trend_no_blowup():
+    """Fixed global payload on 1 vs 8 time shards: the sharded step may
+    pay collective + shard-orchestration overhead, but a pathological
+    serialization-style blowup (per-step recompile, per-sample host sync)
+    trips this. Bound is deliberately generous: virtual devices share
+    the host's cores, so ideal scaling here is ~1x, not 8x (the measured
+    table lives in docs/PERF_NOTES.md 'Virtual-mesh scaling trend')."""
+    stages = lambda: [  # noqa: E731
+        par.FIRStage(ops.design_lowpass(255, 4000, 44100)),
+        par.BiquadStage(
+            ops.design_peaking_eq(44100, freq=1000, q=2.0, gain_db=6.0)
+        ),
+        par.CompressorStage(),
+    ]
+    chunk, C = 65536, 8
+    t1 = _step_time(stages(), C, chunk, 1)
+    t8 = _step_time(stages(), C, chunk, 8)
+    assert t8 <= 6.0 * t1 + 0.05, (
+        f"8-shard step {t8*1e3:.1f} ms vs 1-shard {t1*1e3:.1f} ms — "
+        "sharded execution is pathologically slower than single-device "
+        "on the same payload"
+    )
