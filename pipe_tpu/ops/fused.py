@@ -396,3 +396,178 @@ class BiquadCascade:
             )
 
         return self.context.mutate(fn)
+
+def cascade_taps(parts):
+    """Combined impulse response of a run of FIRs: full convolution of the
+    taps along the last axis (per-channel (C, T) rows broadcast against
+    shared (T,) vectors). Pure traced ops — safe inside jit with live
+    (mutated) values."""
+    import jax
+
+    eff = parts[0]
+    for t in parts[1:]:
+        if eff.ndim == 1 and t.ndim == 1:
+            eff = jnp.convolve(eff, t)
+        else:
+            C = eff.shape[0] if eff.ndim == 2 else t.shape[0]
+            a = jnp.broadcast_to(eff, (C, eff.shape[-1]))
+            b = jnp.broadcast_to(t, (C, t.shape[-1]))
+            eff = jax.vmap(jnp.convolve)(a, b)
+    return eff
+
+
+class _CascadeHandle:
+    """Per-member delegate for a fused-away FIR: routes ``set_taps`` to
+    the owning cascade's slot."""
+
+    def __init__(self, cascade, part):
+        self._cascade = cascade
+        self._part = part
+
+    def set_taps(self, taps):
+        return self._cascade.set_part_taps(self._part, taps)
+
+
+class FIRCascade:
+    """A run of adjacent FIR processors collapsed into ONE component
+    (``optimize.fuse`` rewrite): the combined impulse response
+    ``conv(t_0, ..., t_{n-1})`` is rebuilt inside jit from the traced
+    member taps, so each original ``FIR`` keeps retuning its own slot
+    retrace-free. Exact: convolution is associative, and the single
+    combined pass replaces n-1 intermediate HBM round trips."""
+
+    def __init__(self, parts):
+        self._parts = list(parts)
+        self._taps = [jnp.asarray(p._init_taps, jnp.float32) for p in parts]
+        self._slot = {id(p): i for i, p in enumerate(parts)}
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        from pipe_tpu.ops.fir import fir_block, fir_init_tail
+
+        def alloc(mctx, block_size, props: SignalProperties):
+            for t in self._taps:
+                if t.ndim == 2 and t.shape[0] != props.channels:
+                    raise ValueError(
+                        f"per-channel taps for {t.shape[0]} channels, "
+                        f"line has {props.channels}"
+                    )
+            self.context = mctx
+            T_comb = sum(t.shape[-1] for t in self._taps) - (
+                len(self._taps) - 1
+            )
+            n = len(self._taps)
+
+            def step(state, params, sig: Signal):
+                hc = cascade_taps([params[f"taps{i}"] for i in range(n)])
+                new_tail, y = fir_block(
+                    state["tail"], sig.data, sig.frames, hc
+                )
+                return {"tail": new_tail}, sig.with_data(y)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state={"tail": fir_init_tail(props.channels, T_comb)},
+                params={f"taps{i}": t for i, t in enumerate(self._taps)},
+            )
+            return self._component
+
+        return alloc
+
+    def set_part_taps(self, part, taps):
+        """Mutation updating only ``part``'s slot of the cascade (the
+        delegate target for a fused-away ``FIR.set_taps``)."""
+        i = self._slot[id(part)]
+        t = jnp.asarray(taps, jnp.float32)
+        if t.shape != tuple(self._taps[i].shape):
+            raise ValueError(
+                f"taps shape {t.shape} != allocated "
+                f"{tuple(self._taps[i].shape)}: live retunes must keep "
+                "shapes"
+            )
+
+        def fn():
+            self._taps[i] = t  # restarts/re-allocations keep the retune
+            self._component.set_param(f"taps{i}", t)
+
+        return self.context.mutate(fn)
+
+    def handle_for(self, part):
+        return _CascadeHandle(self, part)
+
+
+class OLSWithGain:
+    """Overlap-save convolution with a folded gain (``optimize.fuse``
+    rewrite of an adjacent Gain + OLSConvolve pair, either order — they
+    commute per channel since convolution is linear). The gain stays a
+    live traced parameter applied to the stage output; XLA fuses the
+    multiply into the irfft consumer, so the fold's win is one fewer
+    graph component."""
+
+    def __init__(self, ir, gain=1.0):
+        self._ir = np.asarray(ir)
+        self._gain = jnp.asarray(gain, jnp.float32)
+        self._component = None
+        self.context = None
+
+    def processor(self):
+        from pipe_tpu.ops.ols import ols_block, ols_init_state, partition_ir
+
+        def alloc(mctx, block_size, props: SignalProperties):
+            self.context = mctx
+            spec = jnp.asarray(partition_ir(self._ir, block_size))
+            if spec.ndim == 4 and spec.shape[2] != props.channels:
+                raise ValueError(
+                    f"per-channel IR for {spec.shape[2]} channels, "
+                    f"line has {props.channels}"
+                )
+            if (
+                self._gain.ndim == 1
+                and self._gain.shape[0] != props.channels
+            ):
+                raise ValueError(
+                    f"per-channel gain of length {self._gain.shape[0]} "
+                    f"cannot fold into a {props.channels}-channel line"
+                )
+            n_parts = spec.shape[1]
+
+            def step(state, params, sig: Signal):
+                new_state, y = ols_block(
+                    state, sig.data, sig.frames, params["ir_spec"]
+                )
+                g = params["gain"]
+                if g.ndim == 1:
+                    g = g[:, None]
+                return new_state, sig.with_data(y * g)
+
+            self._component = Processor(
+                output=props,
+                step=step,
+                state=ols_init_state(props.channels, block_size, n_parts),
+                params={"ir_spec": spec, "gain": self._gain},
+            )
+            return self._component
+
+        return alloc
+
+    def set_ir(self, ir):
+        from pipe_tpu.ops.ols import partition_ir
+
+        def fn():
+            block_size = self._component.state["prev"].shape[1]
+            self._component.set_param(
+                "ir_spec",
+                jnp.asarray(partition_ir(np.asarray(ir), block_size)),
+            )
+
+        return self.context.mutate(fn)
+
+    def set_gain(self, gain):
+        g = jnp.asarray(gain, jnp.float32)
+
+        def fn():
+            self._component.set_param("gain", g)
+
+        return self.context.mutate(fn)

@@ -139,6 +139,7 @@ class OLSConvolve:
     def __init__(self, ir):
         self._ir = np.asarray(ir)
         self._component = None
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
         self.context = None
 
     def processor(self):
@@ -166,10 +167,13 @@ class OLSConvolve:
             )
             return self._component
 
+        alloc.fusion_tag = ("ols", self)
         return alloc
 
     def set_ir(self, ir):
         """Swap the impulse response mid-stream (shape-compatible)."""
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_ir(ir)
 
         def fn():
             block_size = self._component.state["prev"].shape[1]

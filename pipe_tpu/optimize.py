@@ -15,11 +15,20 @@ Rewrites (streaming AND sharded backends):
   (``ops.fused.BiquadCascade`` / ``sharded.BiquadCascade``) — one
   ``biquad_block`` sweep over stacked SOS rows instead of a component per
   filter.
+- **FIR cascade** (r4): a run of adjacent FIRs collapses into one
+  component whose combined taps ``conv(t_0, ..., t_{n-1})`` are rebuilt
+  inside jit from the traced member taps — exact (convolution is
+  associative), n-1 fewer HBM round trips, one sharding halo of
+  ``sum(T_i - 1)``; each original ``FIR`` retunes its own slot. The last
+  FIR of a run is left out when a fusable Resampler follows, so the
+  FIR+Resampler combined-bank rewrite still fires on it.
 - **Gain folding**: a Gain adjacent to a FIR folds into the taps
   (``taps * g`` — T mults instead of an N-sample pass; exact, since
   per-channel convolution commutes with per-channel scaling); a Gain
   adjacent to a ChannelMix/Mix folds into the matrix (columns for an
-  upstream gain, rows for a downstream one).
+  upstream gain, rows for a downstream one); a Gain adjacent to an
+  OLSConvolve folds into the stage output (r4; exact by linearity — the
+  win is one fewer graph component).
 
   Steady-state output is identical for either order. One transient
   caveat: a LIVE ``set_gain`` on a folded ``gain -> FIR`` pair applies
@@ -35,6 +44,11 @@ Usage::
         fir.processor(), rs.processor(), gain.processor()), sink=...)
     line = pipe_tpu.optimize.fuse(line)
     pipe_tpu.run(block, line)
+
+or opt in at build and let the runtime run the fixpoint on every line::
+
+    pipe_tpu.run(block, line, optimize=True)
+    pipe_tpu.Pipe(block, line, optimize=True)
 
 Mutations keep working through the ORIGINAL factory objects: every
 rewrite installs a delegate, so e.g. ``fir.set_taps(...)``,
@@ -188,6 +202,81 @@ def _fuse_gain_fir(procs: List, i: int) -> Optional[tuple]:
     return fused, 2
 
 
+def _fuse_fir_run(procs: List, i: int) -> Optional[tuple]:
+    """A maximal run of >=2 adjacent same-backend FIRs -> one cascade
+    (combined taps conv'd inside jit; per-slot retunes stay live). The
+    LAST FIR of the run is left out when a same-backend resampler with
+    1-D-fusable taps follows, so the bigger FIR+Resampler combined-bank
+    rewrite still fires on it."""
+    t = _tag(procs[i])
+    if t is None or t[0] != "fir":
+        return None
+    backend = _is_sharded(t[1])
+    run = [t[1]]
+    j = i + 1
+    while j < len(procs):
+        tj = _tag(procs[j])
+        if tj is None or tj[0] != "fir" or _is_sharded(tj[1]) != backend:
+            break
+        run.append(tj[1])
+        j += 1
+    if j < len(procs):
+        tn = _tag(procs[j])
+        if (
+            tn is not None
+            and tn[0] == "resample"
+            and _is_sharded(tn[1]) == backend
+            and _fir_taps(run[-1]).ndim == 1
+        ):
+            run = run[:-1]
+            j -= 1
+    if len(run) < 2:
+        return None
+    if backend:
+        from pipe_tpu.parallel import sharded
+
+        fused = sharded.FIRCascade(run)
+    else:
+        from pipe_tpu.ops.fused import FIRCascade
+
+        fused = FIRCascade(run)
+    for part in run:
+        part._delegate = fused.handle_for(part) if hasattr(
+            fused, "handle_for"
+        ) else fused
+    return fused, j - i
+
+
+def _fuse_gain_ols(procs: List, i: int) -> Optional[tuple]:
+    """(gain, ols) or (ols, gain) -> OLS with folded gain (convolution is
+    linear, so they commute per channel)."""
+    if i + 1 >= len(procs):
+        return None
+    ta, tb = _tag(procs[i]), _tag(procs[i + 1])
+    if ta is None or tb is None:
+        return None
+    kinds = (ta[0], tb[0])
+    if kinds == ("gain", "ols"):
+        gain_obj, ols_obj = ta[1], tb[1]
+    elif kinds == ("ols", "gain"):
+        ols_obj, gain_obj = ta[1], tb[1]
+    else:
+        return None
+    if _is_sharded(gain_obj) != _is_sharded(ols_obj):
+        return None
+    if _is_sharded(gain_obj):
+        from pipe_tpu.parallel import sharded
+
+        fused = sharded.OLSGain(ols_obj._ir, _gain_value(gain_obj))
+    else:
+        from pipe_tpu.ops.fused import OLSWithGain
+
+        fused = OLSWithGain(ols_obj._ir, _gain_value(gain_obj))
+    gain_obj._delegate = fused
+    ols_obj._delegate = fused
+    return fused, 2
+
+
 def _fuse_gain_mix(procs: List, i: int) -> Optional[tuple]:
     """(gain, mix) folds into the matrix columns; (mix, gain) into the
     rows."""
@@ -220,7 +309,14 @@ def _fuse_gain_mix(procs: List, i: int) -> Optional[tuple]:
     return fused, 2
 
 
-_RULES = (_fuse_biquad_run, _fuse_fir_resample, _fuse_gain_fir, _fuse_gain_mix)
+_RULES = (
+    _fuse_biquad_run,
+    _fuse_fir_run,
+    _fuse_fir_resample,
+    _fuse_gain_fir,
+    _fuse_gain_mix,
+    _fuse_gain_ols,
+)
 
 
 def _fuse_pass(procs: List) -> Optional[List]:

@@ -180,6 +180,53 @@ class FIRStage(Stage):
         return {"tail": new_tail}, y
 
 
+class FIRCascadeStage(Stage):
+    """A run of FIRs as ONE sharded stage (the sharded twin of
+    ``ops.fused.FIRCascade``): the combined taps are rebuilt inside the
+    step from the traced member taps (per-slot live retunes,
+    recompile-free); one halo of ``sum(T_i - 1)`` samples instead of one
+    per stage."""
+
+    def __init__(self, taps_list):
+        self._taps = [jnp.asarray(t, jnp.float32) for t in taps_list]
+        for t in self._taps:
+            if t.ndim not in (1, 2):
+                raise ValueError("FIR taps must be (T,) or (C, T)")
+
+    def build(self, c_global, c_local, n_local):
+        self._taps = [
+            self.pad_channels(t, c_global, "taps") if t.ndim == 2 else t
+            for t in self._taps
+        ]
+        Tc = sum(t.shape[-1] for t in self._taps) - (len(self._taps) - 1)
+        if Tc - 1 > n_local:
+            raise ShapeConstraintError(
+                f"cascaded FIR halo {Tc-1} exceeds local chunk {n_local}"
+            )
+        self._Tc = Tc
+        self.carry = {"tail": jnp.zeros((c_global, Tc - 1), jnp.float32)}
+        self.params = {f"taps{i}": t for i, t in enumerate(self._taps)}
+        self.carry_spec = {"tail": P(CH_AXIS, None)}
+        self.param_spec = {
+            f"taps{i}": P() if t.ndim == 1 else P(CH_AXIS, None)
+            for i, t in enumerate(self._taps)
+        }
+        self.out_c_global, self.out_c_local, self.out_n_local = (
+            c_global, c_local, n_local,
+        )
+
+    def apply(self, carry, params, x):
+        from pipe_tpu.ops.fused import cascade_taps
+
+        hc = cascade_taps(
+            [params[f"taps{i}"] for i in range(len(self._taps))]
+        )
+        left = halo_from_left(x, self._Tc - 1, TIME_AXIS, carry["tail"])
+        y = fir_apply(left, x, hc)
+        new_tail = last_shard(x[:, -(self._Tc - 1):], TIME_AXIS)
+        return {"tail": new_tail}, y
+
+
 class ResampleStage(Stage):
     def __init__(self, up: int, down: int, taps_per_phase: int = 32):
         from pipe_tpu.ops.resample import _reduce_ratio, polyphase_design
@@ -502,6 +549,34 @@ def _sharded_iir(v, s, a1, a2, basis):
     hi = lax.Precision.HIGHEST
     s0 = jnp.einsum("cij,cj->ci", pre[0], s, precision=hi) + pre[1]
     return y0 + s0[:, 0:1] * alpha[None, :] + s0[:, 1:2] * beta[None, :]
+
+
+class OLSGainStage(OLSStage):
+    """Overlap-save convolution with a folded gain (sharded twin of
+    ``ops.fused.OLSWithGain``): the traced gain scales the stage output —
+    exact, since convolution is linear."""
+
+    def __init__(self, ir, gain=1.0):
+        super().__init__(ir)
+        self._gain = jnp.asarray(gain, jnp.float32)
+
+    def build(self, c_global, c_local, n_local):
+        if self._gain.ndim == 1:
+            self._gain = self.pad_channels(self._gain, c_global, "gain")
+        super().build(c_global, c_local, n_local)
+        self.params["gain"] = self._gain
+        self.param_spec["gain"] = (
+            P() if self._gain.ndim == 0 else P(CH_AXIS)
+        )
+
+    def apply(self, carry, params, x):
+        g = params["gain"]
+        carry, y = super().apply(
+            carry, {k: v for k, v in params.items() if k != "gain"}, x
+        )
+        if g.ndim == 1:
+            g = g[:, None]
+        return carry, y * g
 
 
 class BiquadStage(Stage):

@@ -175,6 +175,8 @@ class FIR(ShardedOp):
 
     def set_taps(self, taps) -> mutable.Mutation:
         if self._delegate is not None:  # fused away by optimize.fuse
+            if hasattr(self._delegate, "set_part_taps"):
+                return self._delegate.set_part_taps(self, taps)
             return self._delegate.set_taps(taps)
         new = jnp.asarray(taps, jnp.float32)
         if new.shape != tuple(np.shape(self._taps)):
@@ -246,15 +248,20 @@ class FIRResample(ShardedOp):
 class OLS(ShardedOp):
     """Overlap-save FFT convolution (long IRs / reverb), time-sharded."""
 
+    fusion_kind = "ols"
+
     def __init__(self, ir):
         super().__init__()
         self._ir = np.asarray(ir)
+        self._delegate = None  # set by pipe_tpu.optimize.fuse
 
     def _make_stage(self, props):
         return _chain.OLSStage(self._ir)
 
     def set_ir(self, ir) -> mutable.Mutation:
         """Swap the impulse response mid-stream (same length)."""
+        if self._delegate is not None:  # fused away by optimize.fuse
+            return self._delegate.set_ir(ir)
         new = np.asarray(ir)
         if new.shape != self._ir.shape:
             raise ValueError(
@@ -265,6 +272,59 @@ class OLS(ShardedOp):
             self._component.set_param("ir_f", self._stage.transform_ir(new))
 
         return self.context.mutate(fn)
+
+
+class OLSGain(ShardedOp):
+    """OLS with a folded gain (``optimize.fuse`` rewrite of an adjacent
+    Gain + OLS pair, either order)."""
+
+    def __init__(self, ir, gain=1.0):
+        super().__init__()
+        self._ir = np.asarray(ir)
+        self._gain = jnp.asarray(gain, jnp.float32)
+
+    def _make_stage(self, props):
+        return _chain.OLSGainStage(self._ir, self._gain)
+
+    def set_ir(self, ir) -> mutable.Mutation:
+        new = np.asarray(ir)
+        if new.shape != self._ir.shape:
+            raise ValueError(
+                f"IR shape {new.shape} != allocated {self._ir.shape}"
+            )
+
+        def fn():
+            self._component.set_param("ir_f", self._stage.transform_ir(new))
+
+        return self.context.mutate(fn)
+
+    def set_gain(self, gain) -> mutable.Mutation:
+        return self._set_params(gain=jnp.asarray(gain, jnp.float32))
+
+
+class FIRCascade(ShardedOp):
+    """A run of FIRs as one sharded stage (``optimize.fuse`` rewrite);
+    each original ``FIR`` keeps retuning its own slot via the installed
+    per-part delegate."""
+
+    def __init__(self, parts):
+        super().__init__()
+        self._parts = list(parts)
+        self._slot = {id(p): i for i, p in enumerate(parts)}
+        self._shapes = [np.shape(p._taps) for p in parts]
+
+    def _make_stage(self, props):
+        return _chain.FIRCascadeStage([p._taps for p in self._parts])
+
+    def set_part_taps(self, part, taps) -> mutable.Mutation:
+        i = self._slot[id(part)]
+        t = jnp.asarray(taps, jnp.float32)
+        if t.shape != tuple(self._shapes[i]):
+            raise ValueError(
+                f"taps shape {t.shape} != allocated "
+                f"{tuple(self._shapes[i])}: live retunes must keep shapes"
+            )
+        return self._set_params(**{f"taps{i}": t})
 
 
 class Biquad(ShardedOp):

@@ -54,7 +54,8 @@ def run_executor(executor, cancel=None) -> None:
 
 
 def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
-        cancel=None, batch_blocks: int = 1, mesh=None) -> None:
+        cancel=None, batch_blocks: int = 1, mesh=None,
+        optimize: bool = False) -> None:
     """One-shot synchronous execution (``pipe.Run``, ``pipe.go:89-103``):
     every line is forced into one shared mutable context and round-robined by
     a single :class:`MultiLineExecutor` in the calling thread. ``stats`` is
@@ -66,9 +67,16 @@ def run(block_size: int, *lines: Line, stats=None, lookahead: int = 1,
     device-source lines — one dispatch advances k blocks (amortizes per-call
     overhead on remote devices; mutation granularity coarsens to k).
     ``mesh`` shard_maps every line's step over a device mesh, exactly as
-    ``Pipe(..., mesh=)`` — ``block_size`` is then the global chunk."""
+    ``Pipe(..., mesh=)`` — ``block_size`` is then the global chunk.
+    ``optimize=True`` runs the algebraic fusion fixpoint
+    (``pipe_tpu.optimize.fuse``) on every line before building — retunes
+    on the original objects keep working through delegates."""
     from pipe_tpu.parallel.meshctx import mesh_scope
 
+    if optimize:
+        from pipe_tpu import optimize as _optimize
+
+        lines = tuple(_optimize.fuse(line) for line in lines)
     mctx = mutable.mutable()
     mle = MultiLineExecutor(context=mctx)
     bound_lines = [

@@ -112,9 +112,15 @@ class _Handle:
 class Pipe:
     """A graph of bound lines (``pipe.go:14-30,105-126``)."""
 
-    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1, mesh=None, host_sync_every: int = 16):
+    def __init__(self, block_size: int, *lines: Line, stats=None, lookahead: int = 1, batch_blocks: int = 1, mesh=None, host_sync_every: int = 16, optimize: bool = False):
         if not lines:
             raise ValueError("pipe without lines")
+        if optimize:
+            # opt-in whole-line optimization: run the algebraic fusion
+            # fixpoint (pipe_tpu.optimize.fuse) on every line at build
+            from pipe_tpu import optimize as _optimize
+
+            lines = tuple(_optimize.fuse(line) for line in lines)
         self.block_size = block_size
         # Device mesh: when given, every line's fused step is shard_map'ed
         # over it (channel + time sharding with halo exchange) while the

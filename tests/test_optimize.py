@@ -390,3 +390,198 @@ def test_fuse_sharded_mix_gain(rng):
     run_pipe(p)
     oracle = 0.5 * m.astype(np.float64) @ x.astype(np.float64)
     assert snr_db(oracle, sink.values) > 100
+
+
+# -- r4: FIR cascade, Gain+OLS, and the optimize=True knob --------------------
+
+
+def test_fuse_fir_run_streaming_parity_and_retune(rng):
+    """Three adjacent FIRs collapse into one cascade; each original object
+    retunes its own slot with zero recompiles."""
+    h1 = ops.design_lowpass(63, 8000.0, 44100.0)
+    h2 = ops.design_lowpass(31, 6000.0, 44100.0)
+    h3 = ops.design_lowpass(15, 4000.0, 44100.0)
+    f1, f2, f3 = ops.FIR(h1), ops.FIR(h2), ops.FIR(h3)
+    line = optimize.fuse(_Line(
+        source=None, sink=None,
+        processors=[f1.processor(), f2.processor(), f3.processor()],
+    ))
+    assert _count(line.processors) == 1
+    from pipe_tpu.ops.fused import FIRCascade
+
+    assert isinstance(f2._delegate._cascade, FIRCascade)
+
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    y = stream_through(line.processors, x, 512)
+    o = x.astype(np.float64)
+    for h in (h1, h2, h3):
+        o = scipy.signal.lfilter(np.asarray(h), [1.0], o, axis=1)
+    assert snr_db(o, y) > 100
+
+    # per-slot retune through the ORIGINAL object
+    h2b = ops.design_lowpass(31, 2000.0, 44100.0)
+    m = f2.set_taps(h2b)
+    assert m is not None
+    m.apply()
+    y2 = stream_through(line.processors, x, 512)  # fresh run, new taps
+    o2 = x.astype(np.float64)
+    for h in (h1, h2b, h3):
+        o2 = scipy.signal.lfilter(np.asarray(h), [1.0], o2, axis=1)
+    assert snr_db(o2, y2) > 100
+    with pytest.raises(ValueError, match="shape"):
+        f3.set_taps(np.ones(16, np.float32))  # wrong length
+
+
+def test_fuse_fir_run_leaves_last_for_resampler(rng):
+    """[FIR, FIR, Resampler]: the run rule leaves the last FIR for the
+    combined-bank FIR+Resampler rewrite; 3 stages -> 2."""
+    h1 = ops.design_lowpass(63, 8000.0, 44100.0)
+    h2 = ops.design_lowpass(63, 4000.0, 44100.0)
+    f1, f2 = ops.FIR(h1), ops.FIR(h2)
+    rs = ops.Resampler(160, 147)
+    line = optimize.fuse(_Line(
+        source=None, sink=None,
+        processors=[f1.processor(), f2.processor(), rs.processor()],
+    ))
+    assert _count(line.processors) == 2
+    from pipe_tpu.ops.fused import FIRResampler
+
+    assert isinstance(f2._delegate, FIRResampler)
+    assert f1._delegate is None
+
+    x = rng.standard_normal((1, 147 * 20)).astype(np.float32)
+    y = stream_through(line.processors, x, 588)
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    o = x.astype(np.float64)
+    for h in (h1, h2):
+        o = scipy.signal.lfilter(np.asarray(h), [1.0], o, axis=1)
+    oracle = _resample_oracle(o, polyphase_design(160, 147, 32), 160, 147)
+    assert snr_db(oracle, y) > 100
+
+
+def test_fuse_gain_ols_both_orders(rng):
+    """Gain folds into an adjacent OLS (either order): exact by
+    linearity; retunes through both originals still land."""
+    P = 2000
+    ir = (rng.standard_normal(P) * np.exp(-np.arange(P) / 300.0)).astype(
+        np.float64
+    )
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+    for order in ("gain_first", "ols_first"):
+        g = ops.Gain(0.5)
+        conv = ops.OLSConvolve(ir)
+        procs = (
+            [g.processor(), conv.processor()]
+            if order == "gain_first"
+            else [conv.processor(), g.processor()]
+        )
+        line = optimize.fuse(_Line(source=None, sink=None, processors=procs))
+        assert _count(line.processors) == 1, order
+        from pipe_tpu.ops.fused import OLSWithGain
+
+        assert isinstance(g._delegate, OLSWithGain)
+        assert isinstance(conv._delegate, OLSWithGain)
+        y = stream_through(line.processors, x, 512)
+        oracle = 0.5 * scipy.signal.lfilter(
+            ir, [1.0], x.astype(np.float64), axis=1
+        )
+        assert snr_db(oracle, y) > 100, order
+        assert g.set_gain(0.25) is not None
+        assert conv.set_ir(ir * 0.5) is not None
+
+
+def test_fuse_sharded_fir_run_and_gain_ols(rng):
+    """Sharded twins: FIR run -> FIRCascade stage; Gain+OLS -> OLSGain,
+    parity on a 1x4 mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from pipe_tpu import parallel
+
+    mesh = parallel.make_mesh(1, 4)
+    h1 = ops.design_lowpass(63, 8000.0, 44100.0)
+    h2 = ops.design_lowpass(31, 4000.0, 44100.0)
+    x = rng.standard_normal((2, 8192)).astype(np.float32)
+
+    f1, f2 = parallel.sharded.FIR(h1), parallel.sharded.FIR(h2)
+    g = parallel.sharded.Gain(0.5)
+    P = 1500
+    ir = (rng.standard_normal(P) * np.exp(-np.arange(P) / 250.0)).astype(
+        np.float64
+    )
+    conv = parallel.sharded.OLS(ir)
+    line = optimize.fuse(_Line(
+        source=None, sink=None,
+        processors=[f1.processor(), f2.processor(), g.processor(),
+                    conv.processor()],
+    ))
+    # [FIRCascade, OLSGain]
+    assert _count(line.processors) == 2
+    from tests.test_mesh_pipe import feed_source
+
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        2048,
+        pipe_tpu.Line(source=feed_source(x, 2),
+                      processors=list(line.processors), sink=sink.sink()),
+        mesh=mesh,
+    )
+    p.start()
+    p.wait(120)
+    o = x.astype(np.float64)
+    for h in (h1, h2):
+        o = scipy.signal.lfilter(np.asarray(h), [1.0], o, axis=1)
+    oracle = scipy.signal.lfilter(ir, [1.0], 0.5 * o, axis=1)
+    assert snr_db(oracle, sink.values) > 100
+    # per-slot sharded retune routes through the cascade delegate
+    assert f2.set_taps(ops.design_lowpass(31, 2000.0, 44100.0)) is not None
+    assert g.set_gain(0.25) is not None
+    assert conv.set_ir(ir * 2) is not None
+
+
+def test_run_and_pipe_optimize_flag(rng):
+    """run(..., optimize=True) / Pipe(..., optimize=True) apply the
+    fusion fixpoint at build; output parity and live retunes hold."""
+    h1 = ops.design_lowpass(63, 8000.0, 44100.0)
+    h2 = ops.design_lowpass(31, 4000.0, 44100.0)
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    f1, f2, g = ops.FIR(h1), ops.FIR(h2), ops.Gain(0.5)
+
+    from tests.test_ops import stream_through as _st  # noqa: F401
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    pos = [0]
+
+    def feed(n):
+        if pos[0] >= x.shape[1]:
+            return None
+        c = x[:, pos[0]:pos[0] + n]
+        pos[0] += n
+        return c
+
+    def src(ctx, block):
+        return Source(output=SignalProperties(44100.0, 2), feed=feed)
+
+    sink = mock.Sink()
+    pipe_tpu.run(
+        512,
+        pipe_tpu.Line(source=src,
+                      processors=[f1.processor(), f2.processor(),
+                                  g.processor()],
+                      sink=sink.sink()),
+        optimize=True,
+    )
+    # FIR+FIR cascaded (the gain stays standalone after the cascade
+    # consumes its neighbor's tag); retunes still route
+    from pipe_tpu.ops.fused import FIRCascade  # noqa: F401
+
+    assert f1._delegate is not None
+    assert f2._delegate is not None
+    o = x.astype(np.float64)
+    for h in (h1, h2):
+        o = scipy.signal.lfilter(np.asarray(h), [1.0], o, axis=1)
+    assert snr_db(0.5 * o, sink.values) > 100
