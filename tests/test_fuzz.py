@@ -248,3 +248,74 @@ def test_iir_noise_gain_floor_documented(rng):
         oracle = scipy.signal.sosfilt(sos[None], x.astype(np.float64), axis=1)
         s = snr_db(oracle, out)
         assert s > floor_db - 8, f"f={f}: {s:.1f} vs floor {floor_db:.1f}"
+
+
+def test_fuzz_weird_shape_mesh_lines(rng):
+    """r4 any-shape matrix: random (channels, block, mesh) combinations —
+    non-dividing channels ride pad rows, non-dividing blocks aggregate —
+    must match the streaming engine >=100 dB."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    import pipe_tpu
+    from pipe_tpu import mock, ops, parallel
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    from tests.test_ops import stream_through
+
+    for case in range(5):
+        ch_s, t_s = [(1, 4), (2, 4), (4, 2), (2, 2)][int(rng.integers(0, 4))]
+        C = int(rng.integers(1, 7))
+        block = int(rng.integers(200, 900))
+        n_blocks = int(rng.integers(6, 12))
+        D = int(rng.integers(1, 2000))
+        T = int(rng.integers(5, 40)) | 1
+        x = rng.standard_normal((C, block * n_blocks)).astype(np.float32)
+        h = ops.design_lowpass(T, 5000.0, 44100.0)
+
+        pos = [0]
+
+        def feed(n):
+            if pos[0] >= x.shape[1]:
+                return None
+            c = x[:, pos[0]:pos[0] + n]
+            pos[0] += n
+            return c
+
+        def src(ctx, bs):
+            return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+        fir = parallel.sharded.FIR(h)
+        dly = parallel.sharded.Delay(D, wet=0.5, dry=1.0)
+        g = parallel.sharded.Gain(0.7)
+        sink = mock.Sink()
+        p = pipe_tpu.Pipe(
+            block,
+            pipe_tpu.Line(source=src,
+                          processors=[fir.processor(), g.processor(),
+                                      dly.processor()],
+                          sink=sink.sink()),
+            mesh=parallel.make_mesh(ch_s, t_s),
+        )
+        p.start()
+        p.wait(120)
+        out = sink.values
+
+        streamed = stream_through(
+            [ops.FIR(h).processor(), ops.Gain(0.7).processor(),
+             ops.Delay(D, wet=0.5, dry=1.0).processor()],
+            x, block,
+        )
+        assert out.shape == streamed.shape, (
+            f"case {case}: mesh {ch_s}x{t_s} C={C} block={block} "
+            f"(agg={p._agg}): {out.shape} vs {streamed.shape}"
+        )
+        sn = snr_db(streamed.astype(np.float64), out)
+        assert sn > 100, (
+            f"case {case}: mesh {ch_s}x{t_s} C={C} block={block} D={D} "
+            f"T={T} agg={p._agg}: {sn:.1f} dB"
+        )

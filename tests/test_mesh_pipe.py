@@ -616,6 +616,49 @@ def test_mesh_pipe_checkpoint_r3_carries(rng):
     np.testing.assert_allclose(resumed, sink_full.values, atol=2e-5)
 
 
+def test_mesh_pipe_checkpoint_r4_ring_carries(rng):
+    """Checkpoint/restore covers the r4 TIME-SHARDED BLOCK RING delay
+    carries (P(ch, time) — both the pure multi-hop ring and the
+    free-feedback ring at D >= chunk): snapshot -> restore into a fresh
+    mesh pipe resumes the exact stream."""
+    from pipe_tpu import checkpoint
+
+    C, BLOCK = 2, 4096
+    data = (rng.standard_normal((C, BLOCK * 4)) * 0.5).astype(np.float32)
+
+    def make(data_part, sink):
+        mesh = parallel.make_mesh(1, 4)
+        pure = parallel.sharded.Delay(9000, wet=1.0, dry=0.5)  # D > 2*chunk
+        echo = parallel.sharded.Delay(5000, feedback=0.5, wet=0.4,
+                                      dry=1.0)  # ring feedback, D >= chunk
+        return pipe_tpu.Pipe(
+            BLOCK,
+            pipe_tpu.Line(
+                source=feed_source(data_part, C),
+                processors=[pure.processor(), echo.processor()],
+                sink=sink.sink(),
+            ),
+            mesh=mesh,
+        )
+
+    sink_full = mock.Sink()
+    run_pipe(make(data, sink_full))
+
+    sink_a = mock.Sink()
+    pa = make(data[:, : 2 * BLOCK], sink_a)
+    run_pipe(pa)
+    ck = checkpoint.snapshot(pa)
+
+    sink_b = mock.Sink()
+    pb = make(data[:, 2 * BLOCK :], sink_b)
+    checkpoint.restore(pb, ck)
+    run_pipe(pb)
+
+    resumed = np.concatenate([sink_a.values, sink_b.values], axis=1)
+    assert resumed.shape == sink_full.values.shape
+    np.testing.assert_allclose(resumed, sink_full.values, atol=2e-5)
+
+
 def test_mesh_stats_recorder(rng):
     """StatsRecorder counts blocks/frames for mesh-backed lines too."""
     import pipe_tpu.profiling as profiling
