@@ -273,42 +273,54 @@ def new_destination() -> Destination:
 
 class Pusher:
     """Routes mutations to the destination owning each context
-    (``mutable/pusher.go:5-57``)."""
+    (``mutable/pusher.go:5-57``). Thread-safe: the control thread and —
+    since r4's untargeted-push agreement — the executor thread's health
+    rounds both stage/deliver concurrently, so staging is lock-protected
+    (the reference's Pusher is single-goroutine and needs none)."""
 
     def __init__(self):
         self._destinations: Dict[Context, Destination] = {}
         # per destination: ordered [(at_block | None, Mutations)]
         self._staged: Dict[Destination, List] = {}
+        self._plock = threading.Lock()
 
     def add_destination(self, ctx: Context, dest: Destination) -> None:
-        self._destinations[ctx] = dest
+        with self._plock:
+            self._destinations[ctx] = dest
 
     def clear_targeted(self) -> None:
         """Drop undelivered block-indexed batches in every destination (see
         :meth:`Destination.clear_targeted`; called on pipe restart)."""
-        for dest in set(self._destinations.values()):
+        with self._plock:
+            dests = set(self._destinations.values())
+        for dest in dests:
             dest.clear_targeted()
 
     def has_destination(self, ctx: Context) -> bool:
-        return ctx in self._destinations
+        with self._plock:
+            return ctx in self._destinations
 
     def put(self, *mutations: Mutation, at_block: Optional[int] = None) -> None:
         """Stage mutations; raises on unknown context (``pusher.go:41``).
         ``at_block`` tags them for block-indexed delivery (see
         :class:`Destination`)."""
-        for m in mutations:
-            dest = self._destinations.get(m.context)
-            if dest is None:
-                raise UnknownContextError(f"unknown mutable context {m.context!r}")
-            entries = self._staged.setdefault(dest, [])
-            if entries and entries[-1][0] == at_block:
-                entries[-1][1].put(m)
-            else:
-                entries.append((at_block, Mutations().put(m)))
+        with self._plock:
+            for m in mutations:
+                dest = self._destinations.get(m.context)
+                if dest is None:
+                    raise UnknownContextError(
+                        f"unknown mutable context {m.context!r}"
+                    )
+                entries = self._staged.setdefault(dest, [])
+                if entries and entries[-1][0] == at_block:
+                    entries[-1][1].put(m)
+                else:
+                    entries.append((at_block, Mutations().put(m)))
 
     def push(self) -> None:
         """Deliver all staged batches to their destinations."""
-        staged, self._staged = self._staged, {}
+        with self._plock:
+            staged, self._staged = self._staged, {}
         for dest, entries in staged.items():
             for at_block, ms in entries:
                 if ms:

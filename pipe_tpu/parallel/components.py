@@ -103,6 +103,22 @@ class ShardedOp:
                     props.channels if stage.out_c_global == c_pad
                     else stage.out_c_global
                 )
+            if (
+                stage.c_user is not None
+                and stage.out_c_global != c_pad
+                and stage.out_c_user != stage.out_c_global
+            ):
+                # a channel-count-CHANGING stage with pad rows in its
+                # output: the next allocator would recompute padding from
+                # the user count and mismatch the actual tensor — reject
+                # at build instead of crashing at trace
+                raise ValueError(
+                    f"{type(stage).__name__} changes the channel count on "
+                    f"a channel-padded line (channels {props.channels} on "
+                    f"a {ch_shards}-way channel axis); pick a channel "
+                    "count divisible by the mesh channel axis for this "
+                    "stage, or use ShardedChain"
+                )
             self.context = mctx
             self._stage = stage
             out_frames = self._out_frames
@@ -128,13 +144,43 @@ class ShardedOp:
             alloc.fusion_tag = (self.fusion_kind, self)
         return alloc
 
+    def _pad_param(self, name, value):
+        """Zero-pad a live per-channel param value along its CH_AXIS-
+        sharded axis when the stage was channel-padded at build (the
+        mutation twin of ``Stage.pad_channels`` — without it a retune on
+        a padded chain would swap in an unpadded-shape array and break
+        the sharding/no-recompile contract)."""
+        stage = self._stage
+        if stage is None or stage.c_user is None:
+            return value
+        cur = self._component.get_param(name)
+        if value.shape == cur.shape:
+            return value
+        spec = stage.param_spec.get(name)
+        axes = tuple(spec) if spec is not None else ()
+        for ax, ax_name in enumerate(axes):
+            if (
+                ax_name == CH_AXIS
+                and ax < value.ndim
+                and value.shape[ax] < cur.shape[ax]
+                and value.shape[:ax] + value.shape[ax + 1:]
+                == cur.shape[:ax] + cur.shape[ax + 1:]
+            ):
+                pad_shape = list(value.shape)
+                pad_shape[ax] = cur.shape[ax] - value.shape[ax]
+                return jnp.concatenate(
+                    [value, jnp.zeros(pad_shape, value.dtype)], axis=ax
+                )
+        return value
+
     def _set_params(self, **vals) -> mutable.Mutation:
         """A mutation updating traced parameters (same shapes/dtypes —
-        no recompile)."""
+        no recompile; per-channel values pad to the built channel count
+        on padded chains)."""
 
         def fn():
             for k, v in vals.items():
-                self._component.set_param(k, v)
+                self._component.set_param(k, self._pad_param(k, v))
 
         return self.context.mutate(fn)
 
@@ -245,6 +291,22 @@ class FIRResample(ShardedOp):
         return self._set_params(hp=jnp.asarray(hp, jnp.float32))
 
 
+def _pad_ir_rows(op, ir: np.ndarray) -> np.ndarray:
+    """Zero-pad a per-channel IR to the stage's built (padded) channel
+    count before re-transforming it (the ``set_ir`` twin of the build-time
+    padding)."""
+    stage = op._stage
+    if stage is None or stage.c_user is None or ir.ndim != 2:
+        return ir
+    c_built = stage._ir.shape[0]
+    if ir.shape[0] >= c_built:
+        return ir
+    return np.concatenate(
+        [ir, np.zeros((c_built - ir.shape[0], ir.shape[1]), ir.dtype)],
+        axis=0,
+    )
+
+
 class OLS(ShardedOp):
     """Overlap-save FFT convolution (long IRs / reverb), time-sharded."""
 
@@ -269,7 +331,9 @@ class OLS(ShardedOp):
             )
 
         def fn():
-            self._component.set_param("ir_f", self._stage.transform_ir(new))
+            self._component.set_param(
+                "ir_f", self._stage.transform_ir(_pad_ir_rows(self, new))
+            )
 
         return self.context.mutate(fn)
 
@@ -294,7 +358,9 @@ class OLSGain(ShardedOp):
             )
 
         def fn():
-            self._component.set_param("ir_f", self._stage.transform_ir(new))
+            self._component.set_param(
+                "ir_f", self._stage.transform_ir(_pad_ir_rows(self, new))
+            )
 
         return self.context.mutate(fn)
 

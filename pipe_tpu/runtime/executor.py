@@ -483,22 +483,13 @@ class LineExecutor:
         if data.ndim == 1:
             data = data[None, :]
         n = data.shape[1]
-        if n < self.block_size:
-            pad = np.zeros(
-                (data.shape[0], self.block_size - n), dtype=data.dtype
-            )
-            data = np.concatenate([data, pad], axis=1)
         c_pad = self._c_pad
-        if data.shape[0] < c_pad:
-            data = np.concatenate(
-                [
-                    data,
-                    np.zeros(
-                        (c_pad - data.shape[0], data.shape[1]), data.dtype
-                    ),
-                ],
-                axis=0,
-            )
+        if n < self.block_size or data.shape[0] < c_pad:
+            # one zero staging buffer covers both the partial-block column
+            # pad and the channel row pad (single copy on the hot path)
+            out = np.zeros((c_pad, self.block_size), np.float32)
+            out[: data.shape[0], :n] = data
+            return out, n
         return np.asarray(data, np.float32), n
 
     def _fed_to_device(self, data, frames, stacked: bool):

@@ -538,6 +538,16 @@ class Pipe:
             # the same batch sequence (the existing multi-host symmetric-
             # stream contract); a batch unmatched by some peer for
             # UNTARGETED_STALE_ROUNDS rounds fails the run loudly.
+            if any(m.context == self.mctx for m in mutations):
+                raise ValueError(
+                    "multi-host push mixes a pipe-structure mutation with "
+                    "untargeted component mutations in one batch: the "
+                    "structure mutation runs in the control thread while "
+                    "the component batch waits for cross-host agreement, "
+                    "so their relative order would be undefined — push "
+                    "them separately (or target the components with "
+                    "at_block=)"
+                )
             with self._untargeted_lock:
                 self._untargeted_q.append(list(mutations))
             return

@@ -440,6 +440,65 @@ def test_mesh_channel_padding_line(rng):
     assert snr > 100, f"{snr:.1f} dB"
 
 
+def test_mesh_channel_padding_live_retune(rng):
+    """Self-review r4: a live per-channel retune on a channel-padded line
+    must pad its value to the built channel count — an unpadded (6, T)
+    array swapped into the (8, T) param would change the traced shape
+    mid-stream and abort the run."""
+    import time
+
+    mesh = parallel.make_mesh(4, 2)
+    C, BLOCK = 6, 1024
+    taps = np.stack(
+        [np.asarray(ops.design_lowpass(31, 3000.0, 44100.0))] * C
+    ).astype(np.float32)
+    fir = parallel.sharded.FIR(taps)
+    g = parallel.sharded.Gain(np.ones(C, np.float32))
+    data = rng.standard_normal((C, BLOCK * 40)).astype(np.float32)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=feed_source(data, C),
+                      processors=[fir.processor(), g.processor()],
+                      sink=sink.sink()),
+        mesh=mesh,
+    )
+    p.start()
+    while sink.messages < 2:
+        time.sleep(0.01)
+    le = p._exec_of_route[0]
+    compiled = le.compile_counts()
+    taps2 = (taps * 0.5).astype(np.float32)
+    p.push(fir.set_taps(taps2), g.set_gain(2.0 * np.ones(C, np.float32)))
+    p.wait(120)
+    assert le.compile_counts() == compiled  # padded retune, no recompile
+    out = sink.values
+    assert out.shape == data.shape
+    # the combined retune is gain-neutral (0.5 * 2) up to the FIR tail
+    oracle = scipy.signal.lfilter(
+        taps[0].astype(np.float64), [1.0], data.astype(np.float64), axis=1
+    )
+    assert snr_db(oracle[:, -BLOCK:], out[:, -BLOCK:]) > 80
+
+
+def test_mesh_channel_changing_stage_rejected_on_padded_line():
+    """A channel-count-changing stage (Channelizer) with pad rows in its
+    output is rejected at BUILD with a clear error (the downstream
+    allocator would otherwise mismatch the actual tensor at trace)."""
+    mesh = parallel.make_mesh(4, 2)
+    chz = parallel.sharded.Channelizer(4)
+    sink = mock.Sink(discard=True)
+    data = np.zeros((6, 2048), np.float32)
+    with pytest.raises(Exception, match="channel count"):
+        pipe_tpu.Pipe(
+            1024,
+            pipe_tpu.Line(source=feed_source(data, 6),
+                          processors=[chz.processor()],
+                          sink=sink.sink()),
+            mesh=mesh,
+        )
+
+
 def test_mesh_stateful_component_needs_spec():
     """A stateful component without declared shardings is rejected on a
     time-sharded mesh (its local-tail math would be silently wrong)."""
