@@ -208,8 +208,6 @@ class FIR:
 
     def set_taps(self, taps):
         if self._delegate is not None:  # fused away by optimize.fuse
-            if hasattr(self._delegate, "set_part_taps"):
-                return self._delegate.set_part_taps(self, taps)
             return self._delegate.set_taps(taps)
         t = jnp.asarray(taps, jnp.float32)
 

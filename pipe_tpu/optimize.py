@@ -241,9 +241,8 @@ def _fuse_fir_run(procs: List, i: int) -> Optional[tuple]:
 
         fused = FIRCascade(run)
     for part in run:
-        part._delegate = fused.handle_for(part) if hasattr(
-            fused, "handle_for"
-        ) else fused
+        # a per-part handle: part.set_taps routes to its own cascade slot
+        part._delegate = fused.handle_for(part)
     return fused, j - i
 
 

@@ -180,12 +180,13 @@ class FIRStage(Stage):
         return {"tail": new_tail}, y
 
 
-class FIRCascadeStage(Stage):
+class FIRCascadeStage(FIRStage):
     """A run of FIRs as ONE sharded stage (the sharded twin of
     ``ops.fused.FIRCascade``): the combined taps are rebuilt inside the
     step from the traced member taps (per-slot live retunes,
     recompile-free); one halo of ``sum(T_i - 1)`` samples instead of one
-    per stage."""
+    per stage. Applies via :meth:`FIRStage.apply` with the combined
+    bank."""
 
     def __init__(self, taps_list):
         self._taps = [jnp.asarray(t, jnp.float32) for t in taps_list]
@@ -203,7 +204,6 @@ class FIRCascadeStage(Stage):
             raise ShapeConstraintError(
                 f"cascaded FIR halo {Tc-1} exceeds local chunk {n_local}"
             )
-        self._Tc = Tc
         self.carry = {"tail": jnp.zeros((c_global, Tc - 1), jnp.float32)}
         self.params = {f"taps{i}": t for i, t in enumerate(self._taps)}
         self.carry_spec = {"tail": P(CH_AXIS, None)}
@@ -221,10 +221,7 @@ class FIRCascadeStage(Stage):
         hc = cascade_taps(
             [params[f"taps{i}"] for i in range(len(self._taps))]
         )
-        left = halo_from_left(x, self._Tc - 1, TIME_AXIS, carry["tail"])
-        y = fir_apply(left, x, hc)
-        new_tail = last_shard(x[:, -(self._Tc - 1):], TIME_AXIS)
-        return {"tail": new_tail}, y
+        return super().apply(carry, {"taps": hc}, x)
 
 
 class ResampleStage(Stage):
@@ -570,10 +567,8 @@ class OLSGainStage(OLSStage):
         )
 
     def apply(self, carry, params, x):
+        carry, y = super().apply(carry, params, x)
         g = params["gain"]
-        carry, y = super().apply(
-            carry, {k: v for k, v in params.items() if k != "gain"}, x
-        )
         if g.ndim == 1:
             g = g[:, None]
         return carry, y * g
@@ -985,21 +980,21 @@ class DelayStage(Stage):
 
     # -- block-ring tap: exact-slice cyclic fetch ------------------------
 
-    def _fetch(self, ring, x, k, lo, hi):
+    def _fetch(self, buf, k, lo, hi):
         """Columns ``[lo, hi)`` of virtual stream block ``g - k`` (``g``
         = this device's time index; block ``-m`` = the stream's m-th
         block back, owned by device ``(g-k) mod T`` at chunk-back
-        ``ceil((k - dst)/T)``). Each device ships only the [lo, hi)
-        window its single cyclic destination needs; reads past the ring
-        depth (stream prehistory) resolve to zeros. ``x = None`` asserts
-        the current chunk is never needed (the D >= N feedback ring)."""
+        ``ceil((k - dst)/T)``). ``buf`` is the shared send buffer
+        ``[zeros | ring | current]`` (zeros resolve reads past the ring
+        depth — stream prehistory; the current slot is zeros on the
+        D >= N feedback ring, where it is provably never selected). Each
+        device ships only the [lo, hi) window its single cyclic
+        destination needs."""
         n, T, kc = self._n, self._T, self._kc
-        C = ring.shape[0]
+        C = buf.shape[0]
         w = hi - lo
         if w <= 0:
-            return jnp.zeros((C, 0), ring.dtype)
-        if k == 0:
-            return x[:, lo:hi]
+            return jnp.zeros((C, 0), buf.dtype)
         g = lax.axis_index(TIME_AXIS)
         dst = (g + k) % T
         # chunk-backs my destination needs (0 = its current chunk)
@@ -1007,10 +1002,6 @@ class DelayStage(Stage):
         # send-buffer slots: [zeros | back-kc .. back-1 | current];
         # back-q lives at slot kc+1-q, clamped onto the zero slot for
         # prehistory
-        cur = x if x is not None else jnp.zeros((C, n), ring.dtype)
-        buf = jnp.concatenate(
-            [jnp.zeros((C, n), ring.dtype), ring, cur], axis=1
-        )
         slot = jnp.clip(kc + 1 - q, 0, kc + 1)
         send = lax.dynamic_slice(buf, (0, slot * n + lo), (C, w))
         hops = k % T
@@ -1031,13 +1022,14 @@ class DelayStage(Stage):
             r = h * n - D  # 0 <= r < n: window offset in block g-h
             # tap window [g*n - D, g*n - D + n) = block(g-h)[r:] ++
             # block(g-h+1)[:r]; for D >= N both pieces predate this
-            # chunk, so the ring may store s and feedback is free
-            xcur = None if self.can_feedback else x
+            # chunk, so the ring may store s and feedback is free (the
+            # current slot is then never selected — pass zeros)
+            xcur = jnp.zeros_like(x) if self.can_feedback else x
+            buf = jnp.concatenate(
+                [jnp.zeros_like(x), ring, xcur], axis=1
+            )
             delayed = jnp.concatenate(
-                [
-                    self._fetch(ring, xcur, h, r, n),
-                    self._fetch(ring, xcur, h - 1, 0, r),
-                ],
+                [self._fetch(buf, h, r, n), self._fetch(buf, h - 1, 0, r)],
                 axis=1,
             )
             s = x + params["feedback"] * delayed if self.can_feedback else x

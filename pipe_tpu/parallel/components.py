@@ -221,8 +221,6 @@ class FIR(ShardedOp):
 
     def set_taps(self, taps) -> mutable.Mutation:
         if self._delegate is not None:  # fused away by optimize.fuse
-            if hasattr(self._delegate, "set_part_taps"):
-                return self._delegate.set_part_taps(self, taps)
             return self._delegate.set_taps(taps)
         new = jnp.asarray(taps, jnp.float32)
         if new.shape != tuple(np.shape(self._taps)):
@@ -391,6 +389,11 @@ class FIRCascade(ShardedOp):
                 f"{tuple(self._shapes[i])}: live retunes must keep shapes"
             )
         return self._set_params(**{f"taps{i}": t})
+
+    def handle_for(self, part):
+        from pipe_tpu.ops.fused import _CascadeHandle
+
+        return _CascadeHandle(self, part)
 
 
 class Biquad(ShardedOp):
