@@ -75,8 +75,11 @@ class LineExecutor:
         # the coordinate system of block-indexed mutations
         self.blocks_dispatched = 0
         # Destination assigned by the runtime for async lines (the sync-group
-        # destination lives on the MultiLineExecutor).
+        # destination lives on the MultiLineExecutor and is mirrored here
+        # as ``group_dest`` so batched feed collection can re-check for
+        # targets that arrive while a feed call blocks).
         self.dest: Optional[mutable.Destination] = None
+        self.group_dest: Optional[mutable.Destination] = None
         # Opt-in per-block timing (pipe_tpu.profiling.LineStats); None = off.
         self.stats = stats
         # Dispatch pipelining: keep up to `lookahead` blocks in flight before
@@ -508,15 +511,33 @@ class LineExecutor:
             self._put_global(np.asarray(frames, np.int32), f_spec),
         )
 
+    def _next_target(self, frontier: int):
+        """The nearest pending block target past ``frontier``, from the
+        owning destination (async: own; sync group: mirrored)."""
+        d = self.dest or self.group_dest
+        return d.next_target(frontier) if d is not None else None
+
     def _dispatch_fed(self, budget: int):
         """Collect up to ``budget`` host-fed blocks and dispatch them: a full
         batch as ONE scanned dispatch, a remainder as single steps. The
         feed's EOF (None) drains everything in flight so trailing blocks
-        reach the sink before the stream ends."""
+        reach the sink before the stream ends.
+
+        The budget is RE-CAPPED against the nearest pending block target
+        before every feed call: a ``feed`` may block for arbitrarily long
+        (a gated/slow source), and a target pushed during that window must
+        still split the batch — the budget computed at ``execute()`` entry
+        is stale by then (r4 soak finding; exact-landing contract)."""
         src = self.route.source
         feds = []
         eof_hit = False
         for _ in range(budget):
+            nt = self._next_target(self.blocks_dispatched)
+            if (
+                nt is not None
+                and self.blocks_dispatched + len(feds) >= nt
+            ):
+                break  # stop at the target; the outer loop applies it
             data = src.feed(self.block_size)
             if data is None:
                 eof_hit = True

@@ -236,6 +236,7 @@ class Pipe:
                 self._groups[route.context] = group
                 self._executors.append(group)
                 self.pusher.add_destination(route.context, dest)
+            le.group_dest = group.dest
             group.executors.append(le)
         else:
             # async: one executor (thread) for the whole line; every
@@ -681,6 +682,7 @@ class Pipe:
                     batch_blocks=self.batch_blocks, mesh=self.mesh,
                 )
                 self._exec_of_route[idx] = le
+                le.group_dest = existing.dest
 
                 def adopt():
                     existing.adopt_line(le)

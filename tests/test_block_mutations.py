@@ -285,3 +285,54 @@ def test_pending_window_bounded_under_split_dispatches():
     _wait_samples(sink, sink.samples + 64 * 8)
     assert len(le._pending) <= le.lookahead + le.batch_blocks
     p.stop(60)
+
+
+def test_target_arriving_during_blocked_feed_splits_batch():
+    """r4 soak finding: with batch_blocks > 1, a target pushed while a
+    feed call BLOCKS mid-collection must still split the batch — the
+    budget computed at execute() entry is stale by then. Pre-fix the
+    whole first 32-block batch dispatched with the old params and the
+    target landed a full batch late."""
+    import threading
+
+    import numpy as np
+
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    BLOCK, N_BLOCKS, TARGET = 64, 64, 5
+    data = np.ones((1, BLOCK * N_BLOCKS), np.float32)
+    gate = threading.Event()
+    pos = [0]
+
+    def feed(n):
+        gate.wait(60)  # the executor blocks HERE while the push arrives
+        if pos[0] >= data.shape[1]:
+            return None
+        c = data[:, pos[0]:pos[0] + n]
+        pos[0] += n
+        return c
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, 1), feed=feed)
+
+    gain = ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=alloc, processors=[gain.processor()],
+                      sink=sink.sink()),
+        batch_blocks=32,
+    )
+    p.start()
+    p.push(gain.set_gain(2.0), at_block=TARGET)
+    time.sleep(0.3)  # the control thread delivers while feed is gated
+    gate.set()
+    p.wait(60)
+    v = sink.values[0]
+    s = TARGET * BLOCK
+    assert np.all(v[:s] == 1.0)
+    assert np.all(v[s:] == 2.0), (
+        f"target at block {TARGET} landed late: first 2.0 at sample "
+        f"{int(np.argmax(v == 2.0))}, expected {s}"
+    )

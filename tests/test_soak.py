@@ -86,16 +86,18 @@ def _step_gains(schedule, n_samples, block):
     return g
 
 
-def _randomized_soak(lookahead, batch_blocks, mesh=None):
+def _randomized_soak(lookahead, batch_blocks, mesh=None, block=256):
     """Seeded-random targeted mutations on two live params, neutral
     mid-stream surgery (insert + add_line), an EOF partial tail, and a
     full restart — checked against an exact float64 oracle. With ``mesh``
-    the same scenario runs the sharded executor."""
+    the same scenario runs the sharded executor; a ``block`` that does
+    not divide the time axis exercises the r4 aggregation path (targets
+    snap to the a-block grid)."""
     from pipe_tpu import parallel
 
-    seed = 1000 + lookahead * 100 + batch_blocks + (7 if mesh else 0)
+    seed = 1000 + lookahead * 100 + batch_blocks + (7 if mesh else 0) + block
     r = np.random.default_rng(seed)
-    BLOCK, n_blocks, tail, C = 256, 1024, 73, 2
+    BLOCK, n_blocks, tail, C = block, 1024, 73, 2
     if mesh is not None:
         tail = 0  # sharded chunks mask partials per-device; keep it simple
     total = BLOCK * n_blocks + tail
@@ -132,9 +134,13 @@ def _randomized_soak(lookahead, batch_blocks, mesh=None):
     p.start()
 
     # random schedules, queued while the gated feed pins the frontier at 0
-    # (every target is then strictly ahead: deterministic landing)
+    # (every target is then strictly ahead: deterministic landing). On an
+    # aggregated mesh pipe targets must sit on the a-block grid.
+    agg = getattr(p, "_agg", 1)
+    grid = np.arange((8 // agg) + 1, n_blocks // agg) * agg
+
     def schedule(gain):
-        blocks = np.sort(r.choice(np.arange(8, n_blocks), 30, replace=False))
+        blocks = np.sort(r.choice(grid, 30, replace=False))
         vals = r.uniform(0.25, 2.0, blocks.size)
         for b, v in zip(blocks, vals):
             p.push(gain.set_gain(float(v)), at_block=int(b))
@@ -154,11 +160,14 @@ def _randomized_soak(lookahead, batch_blocks, mesh=None):
     side_n = [0]
     side_C = C if mesh is not None else 1  # mesh: channel-axis divisibility
 
+    side_total = 10 * BLOCK
+
     def side_feed(n):
-        if side_n[0] >= 10 * BLOCK:
+        if side_n[0] >= side_total:
             return None
-        side_n[0] += n
-        return np.full((side_C, n), 0.5, np.float32)
+        m = min(n, side_total - side_n[0])
+        side_n[0] += m
+        return np.full((side_C, m), 0.5, np.float32)
 
     def side_alloc(ctx, block):
         return Source(output=SignalProperties(44100.0, side_C), feed=side_feed)
@@ -197,7 +206,7 @@ def _randomized_soak(lookahead, batch_blocks, mesh=None):
     pos[0] = 0
     gate.clear()  # re-pin the frontier so the new pushes cannot race it
     p.start(g1.set_gain(1.0), g2.set_gain(1.0), g3.set_gain(1.0))
-    blocks = np.sort(r.choice(np.arange(8, n_blocks), 10, replace=False))
+    blocks = np.sort(r.choice(grid, 10, replace=False))
     vals = r.uniform(0.5, 1.5, blocks.size)
     for b, v in zip(blocks, vals):
         p.push(g1.set_gain(float(v)), at_block=int(b))
@@ -229,6 +238,15 @@ def test_soak_randomized_on_mesh(lookahead, batch_blocks):
     from pipe_tpu import parallel
 
     _randomized_soak(lookahead, batch_blocks, mesh=parallel.make_mesh(2, 4))
+
+
+def test_soak_randomized_on_aggregated_mesh():
+    """The SAME randomized scenario on a mesh whose block size forces
+    r4 block aggregation (block 257 on 4 time shards -> a = 4): grid-
+    aligned targets land exactly, surgery/restart/EOF all hold."""
+    from pipe_tpu import parallel
+
+    _randomized_soak(1, 1, mesh=parallel.make_mesh(2, 4), block=257)
 
 
 @pytest.mark.parametrize("batch_blocks", [1, 32])
