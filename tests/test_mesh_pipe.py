@@ -440,6 +440,37 @@ def test_mesh_channel_padding_line(rng):
     assert snr > 100, f"{snr:.1f} dB"
 
 
+def test_mesh_spectral_weird_block_aggregates(rng):
+    """The STFT grid (hop 256) on a non-dividing block (1000) makes the
+    pipe aggregate 64 user blocks per dispatch; output matches the
+    hop-aligned streaming engine exactly up to the inherent EOF trailing
+    edge (the final W-hop window is a partial reconstruction on BOTH
+    engines, in legitimately different ways — the documented real-time
+    STFT edge)."""
+    from tests.test_ops import stream_through
+
+    C, BLOCK, W, HOP = 2, 1000, 1024, 256
+    N = 128000 + 3000  # one aggregated dispatch + a partial tail
+    x = rng.standard_normal((C, N)).astype(np.float32)
+    sg = parallel.sharded.SpectralGain(W, HOP)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=feed_source(x, C),
+                      processors=[sg.processor()], sink=sink.sink()),
+        mesh=parallel.make_mesh(1, 2),
+    )
+    assert p._agg == 64  # lcm of the hop grid and the time axis
+    run_pipe(p, 300)
+    out = sink.values
+    streamed = stream_through(
+        [ops.SpectralGain(W, HOP).processor()], x, W
+    )
+    n = min(out.shape[1], streamed.shape[1]) - 2 * W  # exclude the edge
+    sn = snr_db(streamed[:, :n].astype(np.float64), out[:, :n])
+    assert sn > 100, f"{sn:.1f} dB"
+
+
 def test_mesh_channel_padding_live_retune(rng):
     """Self-review r4: a live per-channel retune on a channel-padded line
     must pad its value to the built channel count — an unpadded (6, T)
