@@ -145,10 +145,6 @@ class Channelizer:
         bins = K // 2 + 1
 
         def alloc(mctx, block_size, props: SignalProperties):
-            if block_size % K:
-                raise ValueError(
-                    f"block_size {block_size} must be a multiple of K={K}"
-                )
             self.context = mctx
             C = props.channels
             B = block_size
@@ -159,28 +155,35 @@ class Channelizer:
                 # arbitrary position mod K, so up to K-1 valid samples are
                 # held over ("pend") until the next block completes their
                 # polyphase group — keeping phase assignment exact (the
-                # analog of the resampler's phase-offset state).
+                # analog of the resampler's phase-offset state). ANY block
+                # size works: the pend carry also absorbs a block size not
+                # a multiple of K (r4).
                 idx = jnp.arange(B, dtype=jnp.int32)[None, :]
                 xm = jnp.where(idx < sig.frames, sig.data, 0.0)
                 pend, pcnt = state["pend"], state["pcnt"]  # (C, K-1), int32
                 # tail region: [pend(:pcnt) | xm | zeros], padded to a whole
                 # number of polyphase groups
-                Wcap = B + K  # >= pcnt + frames, multiple of K
+                Wcap = (-(-(B + K - 1) // K)) * K  # >= pcnt + frames
                 pend_m = jnp.where(
                     jnp.arange(K - 1, dtype=jnp.int32)[None, :] < pcnt, pend, 0.0
                 )
-                tail = jnp.zeros((C, Wcap + B), jnp.float32)
-                tail = tail.at[:, : K - 1].set(pend_m)
-                tail = lax.dynamic_update_slice(tail, xm, (0, pcnt))[:, :Wcap]
+                tailp = jnp.zeros((C, Wcap + B), jnp.float32)
+                tailp = tailp.at[:, : K - 1].set(pend_m)
+                tailp = lax.dynamic_update_slice(tailp, xm, (0, pcnt))
+                tail = tailp[:, :Wcap]
                 total = pcnt + sig.frames
-                g = total // K  # whole groups ready (g <= B//K)
+                g = total // K  # whole groups ready (g <= Wcap//K)
 
                 re, im = channelize_block(state["hist"], tail, params["gp"], K)
                 out = jnp.stack([re, im], axis=2)  # (C, bins, 2, Wcap//K)
-                out = out.reshape(C * bins * 2, Wcap // K)[:, : B // K]
+                out = out.reshape(C * bins * 2, Wcap // K)
 
-                # advance: processed stream ends at group boundary g*K
-                ctx = jnp.concatenate([state["hist"], tail], axis=1)
+                # advance: processed stream ends at group boundary g*K.
+                # The K-1 pad columns past Wcap keep the pend slice from
+                # clamping at g*K == Wcap - pcnt + ... (any-block r4).
+                ctx = jnp.concatenate(
+                    [state["hist"], tailp[:, : Wcap + K - 1]], axis=1
+                )
                 new_hist = lax.dynamic_slice(ctx, (0, g * K), (C, H))
                 rem_start = H + g * K
                 new_pend = lax.dynamic_slice(ctx, (0, rem_start), (C, K - 1))

@@ -17,12 +17,14 @@ no dynamic shapes.
 
 Streaming contract. The engine has the inherent real-time STFT latency of
 ``W - hop`` samples: output sample ``n`` reconstructs input sample
-``n - (W - hop)``. Mid-stream partial blocks are exact when ``frames`` is a
-multiple of ``hop`` (incomplete windows are deferred: their samples stay in
-the carried history and are re-framed when the rest arrives); the final
-(EOF) partial block has the usual real-time STFT trailing edge. Per-window
-transforms must be memoryless across windows (deferred windows are
-re-processed when completed).
+``n - (W - hop)``. ANY block size and ANY mid-stream partial frame count
+are exact (r4): the hop grid anchors to the absolute stream position, and
+samples short of the next hop boundary ride a residue carry until the hop
+completes — output is emitted in whole hops (a traced valid count), so a
+block may emit slightly fewer or more samples than it consumed, converging
+on the stream total. The final (EOF) partial block has the usual real-time
+STFT trailing edge (plus up to ``hop - 1`` unhopped residue samples).
+Per-window transforms must be memoryless across windows.
 """
 
 from __future__ import annotations
@@ -82,7 +84,8 @@ def frame_hops(ext, window_size: int, hop: int, n_frames: int):
 def stft_frames(hist, x, window, hop: int):
     """Frame ``concat([hist, x])`` into hop-aligned windows and analyze.
 
-    ``hist``: (C, W-H) carried samples; ``x``: (C, B) with ``B % hop == 0``.
+    ``hist``: (C, W-H) carried samples; ``x``: (C, B) with ``B % hop == 0``
+    (the hop-aligned fast framing; :func:`spectral_block` handles any B).
     Returns ``(re, im)`` planes of shape (C, F, bins), F = B // hop.
     """
     C, B = x.shape
@@ -111,59 +114,88 @@ def _ola_fold(out, hop: int):
 
 
 def spectral_block(state, x, frames, transform, window_a, window_s, hop: int):
-    """One streaming spectral block: STFT -> ``transform`` -> weighted OLA.
+    """One streaming spectral block: STFT -> ``transform`` -> weighted OLA,
+    for ANY block size and ANY valid frame count (r4).
+
+    The hop grid anchors to the absolute stream position. The carried
+    ``hist`` buffer holds the last ``W - H`` processed samples PLUS up to
+    ``H - 1`` residue samples short of the next hop boundary (``nres``
+    traced); each block completes ``hops = (nres + frames) // H`` new
+    windows (a traced count masking a static window capacity) and emits
+    exactly ``hops * H`` samples.
 
     Args:
-      state: dict with ``hist`` (C, W-H) input history and ``tail``
-        (C, W-H) pending overlap-add output.
+      state: dict with ``hist`` (C, W-1) input history+residue, ``nres``
+        () int32 residue count, ``tail`` (C, W-H) pending OLA output.
       x: (C, B) input block, valid up to ``frames`` (traced int32).
       transform: ``(re, im) -> (re, im)`` over (C, F, bins) planes;
         must be memoryless across windows.
       window_a / window_s: (W,) analysis / synthesis windows
         (see :func:`design_stft_window`).
-      hop: hop size; requires ``B % hop == 0``.
+      hop: hop size.
 
-    Returns ``(new_state, y)`` with y (C, B), latency ``W - hop`` samples.
+    Returns ``(new_state, (y, out_frames))`` with ``y`` of static width
+    ``ceil((B + H - 1)/H) * H >= B`` and ``out_frames = hops * H`` valid.
     """
     C, B = x.shape
     W = window_a.shape[0]
     H = hop
     L = W - H
-    if B % H != 0:
-        raise ValueError(f"block size {B} must be a multiple of hop {H}")
-    F = B // H
+    R = H - 1  # residue capacity
+    F_cap = (B + R) // H  # max completable windows per block
     idx = jnp.arange(B, dtype=jnp.int32)[None, :]
     xm = jnp.where(idx < frames, x, 0.0)
 
-    re, im = stft_frames(state["hist"], xm, window_a, H)
+    nres = state["nres"]
+    hops = (nres + frames) // H
+    new_nres = nres + frames - hops * H
+
+    # assembly: [hist+residue (L+R) | x at traced offset L+nres]; positions
+    # past L + nres + frames are zeros/garbage no valid window reads. The
+    # extra R columns keep the new-hist slice (start = hops*H, width L+R)
+    # from CLAMPING when hops*H > B - R (clamped starts would shift the
+    # carried history).
+    ext = jnp.zeros((C, L + 2 * R + B), jnp.float32)
+    ext = lax.dynamic_update_slice(ext, state["hist"], (0, 0))
+    ext = lax.dynamic_update_slice(ext, xm, (0, L + nres))
+
+    wins = frame_hops(ext, W, H, F_cap) * window_a  # (C, F_cap, W)
+    spec = jnp.fft.rfft(wins, axis=-1)
+    re = jnp.real(spec).astype(jnp.float32)
+    im = jnp.imag(spec).astype(jnp.float32)
     re, im = transform(re, im)
     spec = lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
     out = jnp.fft.irfft(spec, n=W, axis=-1).astype(jnp.float32) * window_s
 
-    # Defer windows whose newest sample is past the valid region: their
-    # inputs are still masked zeros; they re-run next block once complete
-    # (hist advances by `frames`, keeping hop alignment when
-    # frames % hop == 0).
-    win_ok = (jnp.arange(F, dtype=jnp.int32) + 1) * H <= frames
+    # window w is complete iff its newest hop arrived this block
+    win_ok = jnp.arange(F_cap, dtype=jnp.int32) < hops
     out = jnp.where(win_ok[None, :, None], out, 0.0)
 
-    acc = _ola_fold(out, H)  # (C, B + L)
+    acc = _ola_fold(out, H)  # (C, F_cap*H + L)
+    emitted = hops * H
     if L > 0:
         acc = acc.at[:, :L].add(state["tail"])
-        ext = jnp.concatenate([state["hist"], xm], axis=1)
-        new_hist = lax.dynamic_slice(ext, (0, frames), (C, L))
-        new_tail = lax.dynamic_slice(acc, (0, frames), (C, L))
+        new_tail = lax.dynamic_slice(acc, (0, emitted), (C, L))
     else:
-        new_hist = state["hist"]
         new_tail = state["tail"]
-    return {"hist": new_hist, "tail": new_tail}, acc[:, :B]
+    new_hist = lax.dynamic_slice(ext, (0, emitted), (C, L + R))
+    new_state = {"hist": new_hist, "nres": new_nres, "tail": new_tail}
+    return new_state, (acc[:, : F_cap * H], emitted)
+
+
+def spectral_out_capacity(block_size: int, hop: int) -> int:
+    """Static output width per block: whole hops covering ``block_size``
+    plus a flushing residue (``>= block_size``)."""
+    return ((block_size + hop - 1) // hop) * hop
 
 
 def spectral_init_state(channels: int, window_size: int, hop: int):
-    """Zero state: input history + pending OLA tail, each (C, W-H)."""
+    """Zero state: input history + residue (C, W-1), residue count, and
+    the pending OLA tail (C, W-H)."""
     L = window_size - hop
     return {
-        "hist": jnp.zeros((channels, L), jnp.float32),
+        "hist": jnp.zeros((channels, L + hop - 1), jnp.float32),
+        "nres": jnp.zeros((), jnp.int32),
         "tail": jnp.zeros((channels, L), jnp.float32),
     }
 
@@ -188,15 +220,11 @@ class _SpectralBase:
         return self.window_size - self.hop
 
     def _make_processor(self, props, block_size, params, transform):
-        if block_size % self.hop != 0:
-            raise ValueError(
-                f"block size {block_size} must be a multiple of hop {self.hop}"
-            )
         wa, ws = jnp.asarray(self._wa), jnp.asarray(self._ws)
         hop = self.hop
 
         def step(state, p, sig: Signal):
-            new_state, y = spectral_block(
+            new_state, (y, out_frames) = spectral_block(
                 state,
                 sig.data,
                 sig.frames,
@@ -205,7 +233,7 @@ class _SpectralBase:
                 ws,
                 hop,
             )
-            return new_state, sig.with_data(y)
+            return new_state, Signal(y, out_frames)
 
         self._component = Processor(
             output=props,

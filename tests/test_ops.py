@@ -592,14 +592,17 @@ def test_channelizer_sine_lands_in_one_bin(rng):
     assert power[3] > 1e4 * others.max()  # > 40 dB isolation
 
 
-def test_channelizer_block_constraint():
-    from pipe_tpu.ops.channelizer import Channelizer
-    from pipe_tpu import mutable
-    from pipe_tpu.signal import SignalProperties
-
-    ch = Channelizer(8)
-    with pytest.raises(ValueError, match="multiple of K"):
-        ch.processor()(mutable.mutable(), 500, SignalProperties(44100.0, 1))
+def test_channelizer_any_block_size(rng):
+    """r4: a block size that is NOT a multiple of K streams exactly — the
+    pend carry absorbs the residue; output groups emit as they complete
+    (formerly a build error)."""
+    K = 8
+    x = rng.standard_normal((1, 8000)).astype(np.float32)
+    ref = stream_through([ops.Channelizer(K).processor()], x, 512)
+    got = stream_through([ops.Channelizer(K).processor()], x, 500)
+    n = min(ref.shape[1], got.shape[1])
+    assert n >= 8000 // K - 1
+    np.testing.assert_allclose(got[:, :n], ref[:, :n], atol=2e-5)
 
 
 def test_fm_demod_recovers_message(rng):

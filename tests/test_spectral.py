@@ -33,7 +33,7 @@ def stream_blocks(x, window_size, hop, transform, block):
         frames = blk.shape[1]
         if frames < block:
             blk = np.pad(blk, ((0, 0), (0, block - frames)))
-        state, y = spectral_block(
+        state, (y, out_frames) = spectral_block(
             state,
             jnp.asarray(blk),
             jnp.int32(frames),
@@ -42,7 +42,7 @@ def stream_blocks(x, window_size, hop, transform, block):
             ws,
             hop,
         )
-        outs.append(np.asarray(y)[:, :frames])
+        outs.append(np.asarray(y)[:, : int(out_frames)])
     return np.concatenate(outs, axis=1)
 
 
@@ -120,11 +120,11 @@ def test_partial_block_hop_aligned(rng):
     for block, frames in feed:
         blk = np.zeros((2, block), np.float32)
         blk[:, :frames] = x[:, pos : pos + frames]
-        state, y = spectral_block(
+        state, (y, out_frames) = spectral_block(
             state, jnp.asarray(blk), jnp.int32(frames),
             lambda re, im: (re, im), wa, ws, H,
         )
-        outs.append(np.asarray(y)[:, :frames])
+        outs.append(np.asarray(y)[:, : int(out_frames)])
         pos += frames
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, full[:, :pos], atol=1e-5)
@@ -250,3 +250,69 @@ def test_spectral_gate_live_mutation(rng):
     y_shut = stream_through([gate2.processor()], x, block=256)
     # huge threshold: fully attenuated
     assert np.sqrt(np.mean(y_shut[:, L:] ** 2)) < 1e-3 * np.sqrt(np.mean(x**2))
+
+
+def test_any_block_size_streaming(rng):
+    """r4: a block size that is NOT a hop multiple streams exactly — the
+    hop grid anchors to the stream, short-of-a-hop samples ride the
+    residue carry, and output emits in whole hops (catching up across
+    blocks). Identical to the hop-aligned run except emission timing."""
+    x = rng.standard_normal((2, 9000)).astype(np.float32)
+    W, H = 256, 64
+    aligned = stream_blocks(x, W, H, lambda re, im: (re, im), block=512)
+    for block in (100, 300, 509):
+        got = stream_blocks(x, W, H, lambda re, im: (re, im), block=block)
+        n = min(got.shape[1], aligned.shape[1])
+        np.testing.assert_allclose(
+            got[:, :n], aligned[:, :n], atol=1e-5,
+            err_msg=f"block={block}",
+        )
+
+
+def test_any_partial_frames_midstream(rng):
+    """Mid-stream partial blocks with frame counts NOT hop-aligned
+    (previously only hop-multiples were exact)."""
+    x = rng.standard_normal((2, 4096)).astype(np.float32)
+    W, H = 256, 64
+    full = stream_blocks(x, W, H, lambda re, im: (re, im), block=512)
+
+    wa, ws = design_stft_window(W, H)
+    wa, ws = jnp.asarray(wa), jnp.asarray(ws)
+    state = spectral_init_state(2, W, H)
+    outs = []
+    feed = [(512, 512), (512, 301), (512, 512), (512, 77), (512, 512),
+            (512, 512), (512, 450)]
+    pos = 0
+    for block, frames in feed:
+        blk = np.zeros((2, block), np.float32)
+        blk[:, :frames] = x[:, pos : pos + frames]
+        state, (y, out_frames) = spectral_block(
+            state, jnp.asarray(blk), jnp.int32(frames),
+            lambda re, im: (re, im), wa, ws, H,
+        )
+        outs.append(np.asarray(y)[:, : int(out_frames)])
+        pos += frames
+    got = np.concatenate(outs, axis=1)
+    n = got.shape[1]  # emitted whole hops <= pos
+    assert pos - n < H
+    np.testing.assert_allclose(got, full[:, :n], atol=1e-5)
+
+
+def test_spectral_gain_processor_odd_block(rng):
+    """SpectralGain through the streaming runtime at block 500 (not a
+    hop-256 multiple): reconstructs the delayed input like the aligned
+    engine."""
+    x = rng.standard_normal((2, 20000)).astype(np.float32)
+    W, H = 1024, 256
+    sg = ops.SpectralGain(W, H)
+    y = stream_through([sg.processor()], x, 500)
+    ref = ops.SpectralGain(W, H)
+    y2 = stream_through([ref.processor()], x, 1024)
+    n = min(y.shape[1], y2.shape[1])
+    assert snr_db(y2[:, :n].astype(np.float64), y[:, :n]) > 130
+    # and against the float64 oracle (delayed identity)
+    L = W - H
+    oracle = np.concatenate(
+        [np.zeros((2, L)), x.astype(np.float64)], axis=1
+    )[:, :n]
+    assert snr_db(oracle, y[:, :n]) >= SNR_TARGET
