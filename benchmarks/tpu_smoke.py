@@ -86,7 +86,7 @@ def main():
     sst = sp.spectral_init_state(C, 512, 128)
     check("spectral", lambda: sp.spectral_block(
         sst, x, frames, lambda re, im: (re * 0.5, im * 0.5),
-        jnp.asarray(wa), jnp.asarray(ws), 128)[1])
+        jnp.asarray(wa), jnp.asarray(ws), 128)[1][0])
 
     from pipe_tpu.ops.demod import osc_block, _rationalize
 

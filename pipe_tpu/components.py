@@ -98,10 +98,18 @@ class Source(_Component):
 class Processor(_Component):
     """Signal manipulator (``pipe.go:52-64``). ``output`` declares the
     processor's output stream properties (a resampler changes sample_rate, a
-    mixer may change channels)."""
+    mixer may change channels).
+
+    ``out_capacity`` (optional) declares the processor's static output
+    block WIDTH when it differs from its input width — a resampler emits
+    ``ceil(B*L/M)`` frames, the STFT engine whole hops covering B, the
+    channelizer decimated groups. The route builder threads it as the
+    next allocator's ``block_size`` so downstream stateful ops size their
+    buffers for what actually arrives (``None`` = width-preserving)."""
 
     output: SignalProperties = None  # type: ignore[assignment]
     step: ProcessStepFn = None  # type: ignore[assignment]
+    out_capacity: Optional[int] = None
 
     def __post_init__(self):
         if self.output is None:

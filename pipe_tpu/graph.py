@@ -67,6 +67,16 @@ class Route:
             return self.source.output
         return self.processors[pos - 1].output
 
+    def prev_capacity(self, pos: int, block_size: int) -> int:
+        """Input block WIDTH at processor slot ``pos``: the pipe block
+        threaded through any upstream width-changing ops (the live
+        InsertProcessor twin of make_route's width threading)."""
+        width = block_size
+        for proc in self.processors[:pos]:
+            if proc.out_capacity is not None:
+                width = proc.out_capacity
+        return width
+
 
 def component_context(line_ctx: mutable.Context) -> mutable.Context:
     """Sync lines share the line context; async components each get a fresh
@@ -155,18 +165,22 @@ def make_route(line: Line, block_size: int) -> Route:
     props = source.output
 
     processors: List[Processor] = []
+    width = block_size  # per-stage input capacity (width-changing ops
+    # declare out_capacity; everything downstream sizes to it)
     for alloc in line.processors:
         try:
             proc = allocate_processor(
-                alloc, component_context(line.context), block_size, props
+                alloc, component_context(line.context), width, props
             )
         except Exception as e:
             raise AllocationError(f"processor: {e}") from e
         props = proc.output
+        if proc.out_capacity is not None:
+            width = proc.out_capacity
         processors.append(proc)
 
     try:
-        sink = allocate_sink(line.sink, component_context(line.context), block_size, props)
+        sink = allocate_sink(line.sink, component_context(line.context), width, props)
     except Exception as e:
         raise AllocationError(f"sink: {e}") from e
 

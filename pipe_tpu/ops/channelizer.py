@@ -192,6 +192,7 @@ class Channelizer:
                     Signal(out, g),
                 )
 
+            Wcap0 = (-(-(B + K - 1) // K)) * K
             self._component = Processor(
                 output=SignalProperties(
                     sample_rate=props.sample_rate / K,
@@ -204,6 +205,7 @@ class Channelizer:
                     "pcnt": jnp.asarray(0, jnp.int32),
                 },
                 params={"gp": gp_init},
+                out_capacity=Wcap0 // K,  # decimated group width
             )
             return self._component
 

@@ -117,6 +117,7 @@ class FIRResampler:
                 params={"taps": self._taps, "hp_base": self._hp},
                 start=comp.start,
                 flush=comp.flush,
+                out_capacity=comp.out_capacity,
             )
             return self._component
 

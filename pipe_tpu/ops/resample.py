@@ -235,6 +235,7 @@ class Resampler:
                     "off": jnp.asarray(0, jnp.int32),
                 },
                 params={"hp": hp_init},
+                out_capacity=B_out,  # downstream ops size to this width
             )
             return self._component
 

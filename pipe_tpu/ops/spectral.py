@@ -240,6 +240,9 @@ class _SpectralBase:
             step=step,
             state=spectral_init_state(props.channels, self.window_size, hop),
             params=params,
+            # whole hops covering the block (>= block_size): downstream
+            # ops size their buffers to this width
+            out_capacity=spectral_out_capacity(block_size, hop),
         )
         return self._component
 

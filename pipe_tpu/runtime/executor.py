@@ -101,6 +101,8 @@ class LineExecutor:
         self.batch_blocks = max(1, batch_blocks)
         self._pending: list = []  # in-flight resolution entries, oldest first
         self._fed_partial = False  # a short fed block ends the stream (mesh)
+        self._held_feds: list = []  # fed blocks parked behind a target
+        self._fed_eof = False  # feed returned None (held blocks may remain)
 
     # -- step construction ------------------------------------------------
 
@@ -530,17 +532,22 @@ class LineExecutor:
         is stale by then (r4 soak finding; exact-landing contract)."""
         src = self.route.source
         feds = []
-        eof_hit = False
-        for _ in range(budget):
+        while len(feds) < budget:
             nt = self._next_target(self.blocks_dispatched)
             if (
                 nt is not None
                 and self.blocks_dispatched + len(feds) >= nt
             ):
                 break  # stop at the target; the outer loop applies it
+            if self._held_feds:
+                # blocks collected past a target in an earlier call
+                feds.append(self._held_feds.pop(0))
+                continue
+            if self._fed_eof:
+                break  # feed already returned None; only held blocks left
             data = src.feed(self.block_size)
             if data is None:
-                eof_hit = True
+                self._fed_eof = True
                 break
             if self._fed_partial and self.mesh is not None:
                 # Sharded stages advance their carries by whole local
@@ -558,6 +565,16 @@ class LineExecutor:
             if feds[-1][1] < self.block_size:
                 self._fed_partial = True
                 break  # partial block: the stream ends at the next feed
+        # a target may have arrived DURING the last blocking feed call,
+        # landing inside the already-collected range: dispatch only up to
+        # it and hold the rest for the next execute (after the outer loop
+        # applies the mutation) — collected blocks cannot go back to the
+        # feed, but they can wait
+        nt = self._next_target(self.blocks_dispatched)
+        if nt is not None and self.blocks_dispatched + len(feds) > nt:
+            keep = nt - self.blocks_dispatched
+            self._held_feds = feds[keep:] + self._held_feds
+            feds = feds[:keep]
         if feds:
             if len(feds) == self.batch_blocks and self.batch_blocks > 1:
                 fed = self._fed_to_device(
@@ -585,7 +602,7 @@ class LineExecutor:
                     self._pending.append((out, eof, False))
                 if self.stats is not None:
                     self.stats.blocks += len(feds) - 1
-        if eof_hit:
+        if self._fed_eof and not self._held_feds:
             self.drain()
             return EOF
         return None
@@ -691,6 +708,8 @@ class LineExecutor:
         system of ``push(..., at_block=N)`` — rewinds to block 0."""
         self.blocks_dispatched = 0
         self._fed_partial = False
+        self._held_feds = []
+        self._fed_eof = False
         for comp in self.route.components():
             if comp.start is not None:
                 comp.start()  # raises -> caller handles rollback

@@ -513,7 +513,11 @@ class Pipe:
         boundary if needed (deterministic landing under any perf knobs).
 
         Single-process pipes are lenient: a target already passed applies
-        at the next block. MULTI-HOST pipes are strict
+        at the next block — per line: in a multi-line sync group, a line
+        whose batch had already dispatched past the target when the push
+        arrived applies it late (its own next boundary) while a sibling
+        still collecting can stop exactly at the target; each line
+        individually keeps the lenient contract. MULTI-HOST pipes are strict
         (deterministic-or-fail): a target that arrives after its block was
         dispatched — or that the stream never reaches — raises
         ``mutable.LateTargetError`` and aborts the run, because a
@@ -735,10 +739,21 @@ class Pipe:
             le = self._exec_of_route[line]
             try:
                 prev_props = route.prev_props(pos)
+                width = route.prev_capacity(pos, self._block_internal)
                 ctx = component_context(route.context)
                 with mesh_scope(self.mesh):
                     proc = allocate_processor(
-                        proc_alloc, ctx, self._block_internal, prev_props
+                        proc_alloc, ctx, width, prev_props
+                    )
+                if (
+                    proc.out_capacity is not None
+                    and proc.out_capacity != width
+                ):
+                    raise ValueError(
+                        "cannot live-insert a block-width-changing "
+                        "processor (resampler/STFT/channelizer): the "
+                        "downstream components were sized for "
+                        f"{width}-frame blocks; build a new pipe instead"
                     )
             except Exception as e:  # noqa: BLE001
                 handle._fail(e)

@@ -336,3 +336,57 @@ def test_target_arriving_during_blocked_feed_splits_batch():
         f"target at block {TARGET} landed late: first 2.0 at sample "
         f"{int(np.argmax(v == 2.0))}, expected {s}"
     )
+
+
+def test_target_inside_already_collected_batch_holds_blocks():
+    """r4 review: a target pushed while the feed blocks MID-collection —
+    after some blocks were already collected — must still land exactly:
+    the executor dispatches only up to the target and parks the rest."""
+    import threading
+
+    import numpy as np
+
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    BLOCK, N_BLOCKS, TARGET = 64, 64, 5
+    data = np.ones((1, BLOCK * N_BLOCKS), np.float32)
+    gate = threading.Event()
+    calls = [0]
+    pos = [0]
+
+    def feed(n):
+        calls[0] += 1
+        if calls[0] == 11:  # block AFTER 10 blocks were collected
+            gate.wait(60)
+        if pos[0] >= data.shape[1]:
+            return None
+        c = data[:, pos[0]:pos[0] + n]
+        pos[0] += n
+        return c
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, 1), feed=feed)
+
+    gain = ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=alloc, processors=[gain.processor()],
+                      sink=sink.sink()),
+        batch_blocks=32,
+    )
+    p.start()
+    while calls[0] < 11:
+        time.sleep(0.005)
+    p.push(gain.set_gain(2.0), at_block=TARGET)  # inside collected range
+    time.sleep(0.3)
+    gate.set()
+    p.wait(60)
+    v = sink.values[0]
+    s = TARGET * BLOCK
+    assert np.all(v[:s] == 1.0)
+    assert np.all(v[s:] == 2.0), (
+        f"target at block {TARGET} landed late: first 2.0 at sample "
+        f"{int(np.argmax(v == 2.0))}, expected {s}"
+    )

@@ -300,6 +300,7 @@ def test_fuzz_weird_shape_mesh_lines(rng):
                                       dly.processor()],
                           sink=sink.sink()),
             mesh=parallel.make_mesh(ch_s, t_s),
+            optimize=bool(rng.integers(0, 2)),  # fusion under padding too
         )
         p.start()
         p.wait(120)

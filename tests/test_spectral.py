@@ -316,3 +316,61 @@ def test_spectral_gain_processor_odd_block(rng):
         [np.zeros((2, L)), x.astype(np.float64)], axis=1
     )[:, :n]
     assert snr_db(oracle, y[:, :n]) >= SNR_TARGET
+
+
+def test_width_changing_chain_composition(rng):
+    """r4 review: width-changing ops thread their out_capacity to
+    downstream allocators, so mixed chains compose at ANY block size —
+    [SpectralGain -> Delay] at an odd block and [Resampler -> Delay]
+    (the latter was broken for width-sensitive downstream ops even
+    before the spectral generalization)."""
+    x = rng.standard_normal((2, 20000)).astype(np.float32)
+    W, H, D = 1024, 256, 500
+
+    y = stream_through(
+        [ops.SpectralGain(W, H).processor(), ops.Delay(D).processor()],
+        x, 500,
+    )
+    L = W - H
+    oracle = np.zeros((2, y.shape[1]))
+    src = np.concatenate([np.zeros((2, L + D)), x.astype(np.float64)], axis=1)
+    oracle = src[:, : y.shape[1]]
+    assert snr_db(oracle, y) >= SNR_TARGET
+
+    # resampler -> delay: downstream sized to the resampler's B_out
+    y2 = stream_through(
+        [ops.Resampler(160, 147).processor(), ops.Delay(700).processor()],
+        x[:, : 147 * 100], 588,
+    )
+    from tests.test_ops import _resample_oracle
+    from pipe_tpu.ops.resample import polyphase_design
+
+    rx = _resample_oracle(
+        x[:, : 147 * 100].astype(np.float64),
+        polyphase_design(160, 147, 32), 160, 147,
+    )
+    d = np.concatenate([np.zeros((2, 700)), rx], axis=1)[:, : y2.shape[1]]
+    assert snr_db(d, y2) >= SNR_TARGET
+
+
+def test_insert_width_changing_processor_rejected(rng):
+    """Live-inserting a width-changing processor (resampler/STFT) must
+    fail loudly: downstream components were sized for the old width."""
+    import pipe_tpu
+    from pipe_tpu import mock
+
+    src = mock.Source(channels=1, value=1.0, interval=0.002)
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        512,
+        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+    )
+    p.start()
+    # hop 48 does not divide block 512 -> out capacity 528 != 512
+    h = p.insert_processor(0, 0, ops.SpectralGain(240, 48).processor())
+    assert h.wait(30)
+    assert h.error is not None and "width-changing" in str(h.error)
+    # a hop that preserves the width (64 | 512) inserts fine
+    h2 = p.insert_processor(0, 0, ops.SpectralGain(256, 64).processor())
+    assert h2.wait(30) and h2.error is None
+    p.stop(30)
