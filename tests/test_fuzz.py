@@ -320,3 +320,35 @@ def test_fuzz_weird_shape_mesh_lines(rng):
             f"case {case}: mesh {ch_s}x{t_s} C={C} block={block} D={D} "
             f"T={T} agg={p._agg}: {sn:.1f} dB"
         )
+
+
+def test_fuzz_mixed_width_chain_block_invariance(rng):
+    """r4: random chains through width-changing ops (STFT, resampler,
+    gate) at two random block sizes produce the same stream — the
+    capacity threading + hop/phase residue carries make chunking
+    transparent for ANY block size."""
+    from tests.test_ops import stream_through
+
+    chains = [
+        lambda D: [ops.SpectralGain(512, 128).processor(),
+                   ops.Delay(D).processor(), ops.Gain(0.5).processor()],
+        lambda D: [ops.Resampler(160, 147).processor(),
+                   ops.Delay(D).processor()],
+        lambda D: [ops.FIR(ops.design_lowpass(63, 5000, 44100)).processor(),
+                   ops.SpectralGain(256, 64).processor()],
+        lambda D: [ops.Resampler(48000, 32000).processor(),
+                   ops.SpectralGate(256, 64, threshold=1e-4).processor()],
+    ]
+    for case in range(4):
+        C = int(rng.integers(1, 4))
+        x = rng.standard_normal((C, 16000)).astype(np.float32)
+        b1, b2 = (int(rng.integers(90, 1300)) for _ in range(2))
+        D = int(rng.integers(1, 3000))
+        mk = chains[case]
+        ya = stream_through(mk(D), x, b1)
+        yb = stream_through(mk(D), x, b2)
+        n = min(ya.shape[1], yb.shape[1])
+        sn = snr_db(yb[:, :n].astype(np.float64), ya[:, :n])
+        assert sn > 110, (
+            f"case {case}: blocks {b1}/{b2} C={C} D={D}: {sn:.1f} dB"
+        )
