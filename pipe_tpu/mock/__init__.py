@@ -139,7 +139,11 @@ class Source(_MockBase):
             if mesh is not None:
                 from pipe_tpu.parallel.mesh import CH_AXIS, TIME_AXIS
 
-                gen_channels = channels // mesh.shape[CH_AXIS]
+                # ceil: a channel count that doesn't divide the axis pads
+                # up; the executor zeroes the pad rows after the step and
+                # the sink slices them off (device-source channel padding)
+                ch = mesh.shape[CH_AXIS]
+                gen_channels = -(-channels // ch)
                 gen_block = block_size // mesh.shape[TIME_AXIS]
 
             def step(state, params):

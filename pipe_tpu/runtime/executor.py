@@ -100,9 +100,11 @@ class LineExecutor:
         # exact reference semantics.
         self.batch_blocks = max(1, batch_blocks)
         self._pending: list = []  # in-flight resolution entries, oldest first
-        self._fed_partial = False  # a short fed block ends the stream (mesh)
         self._held_feds: list = []  # fed blocks parked behind a target
         self._fed_eof = False  # feed returned None (held blocks may remain)
+        # Mesh re-chunking (short-read protocol, reference pipe.go:404-406):
+        # (C, n) pieces of feed data not yet forming a full block.
+        self._fed_residue: list = []
 
     # -- step construction ------------------------------------------------
 
@@ -149,16 +151,6 @@ class LineExecutor:
             raise ValueError(
                 f"block_size {self.block_size} not divisible by the mesh "
                 f"time axis ({t_shards})"
-            )
-        cin = self.route.source.output.channels
-        if cin % ch_shards and self.route.source.feed is None:
-            # host-FED lines zero-pad channel rows to the shard multiple
-            # (sliced off at the sink); a device source generates its own
-            # data inside shard_map, where padding cannot be injected
-            raise ValueError(
-                f"device-source channels {cin} not divisible by the mesh "
-                f"channel axis ({ch_shards}); pad the source or use a "
-                "host-fed source"
             )
         if t_shards > 1:
             for c in self.route.components():
@@ -240,6 +232,8 @@ class LineExecutor:
             from pipe_tpu.parallel.mesh import TIME_AXIS
 
             n_local_in = self.block_size // self.mesh.shape[TIME_AXIS]
+        c_user = src.output.channels
+        pad_src_rows = local and not has_feed and self._c_pad != c_user
         # multi-host: gather the host-visible output inside the step so
         # every host's sink sees the whole stream (out_specs are then fully
         # replicated — a host cannot read other hosts' shards)
@@ -260,6 +254,18 @@ class LineExecutor:
                 data, frames = sig.data, sig.frames
                 eof = jnp.asarray(eof, bool)
                 src_state = _gate(~eof, new_src_state, src_state)
+                if local and pad_src_rows:
+                    # device source on a channel-padded line: the step
+                    # generates ceil(C/ch_shards) local rows; zero the pad
+                    # rows (global row >= C) so they stay inert end to end
+                    # — the device twin of _prep_fed_host's zero staging
+                    # rows (r4 channel-padding contract, all sources now)
+                    from pipe_tpu.parallel.mesh import CH_AXIS
+
+                    row = jax.lax.axis_index(CH_AXIS) * data.shape[
+                        0
+                    ] + jnp.arange(data.shape[0], dtype=jnp.int32)
+                    data = jnp.where(row[:, None] < c_user, data, 0.0)
 
             if local:
                 # zero everything past the global valid count so stage math
@@ -513,6 +519,43 @@ class LineExecutor:
             self._put_global(np.asarray(frames, np.int32), f_spec),
         )
 
+    def _feed_full_block(self, src):
+        """Assemble one FULL block (or the final partial at EOF) from the
+        feed, parking over- and under-runs in ``_fed_residue`` — the mesh
+        twin of the reference's accept-any-length short-read slicing
+        (``pipe.go:404-406``). Returns ``None`` at EOF with nothing left,
+        else ``(padded (C, block) float32, valid frames)``. Deterministic
+        host-side repacking, so multi-host symmetric feeds stay aligned."""
+        have = sum(a.shape[1] for a in self._fed_residue)
+        while have < self.block_size and not self._fed_eof:
+            data = src.feed(self.block_size - have)
+            if data is None:
+                self._fed_eof = True
+                break
+            data = np.asarray(data, np.float32)
+            if data.ndim == 1:
+                data = data[None, :]
+            if data.shape[1] == 0:
+                continue  # empty read: ask again (progress is the feed's
+                # contract, as in the non-mesh zero-frame no-op block)
+            self._fed_residue.append(data)
+            have += data.shape[1]
+        if have == 0:
+            return None
+        n = min(have, self.block_size)
+        chunks, taken = [], 0
+        while taken < n:
+            a = self._fed_residue[0]
+            take = min(a.shape[1], n - taken)
+            chunks.append(a[:, :take])
+            if take < a.shape[1]:
+                self._fed_residue[0] = a[:, take:]
+            else:
+                self._fed_residue.pop(0)
+            taken += take
+        data = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=1)
+        return self._prep_fed_host(data)
+
     def _next_target(self, frontier: int):
         """The nearest pending block target past ``frontier``, from the
         owning destination (async: own; sync group: mirrored)."""
@@ -543,28 +586,34 @@ class LineExecutor:
                 # blocks collected past a target in an earlier call
                 feds.append(self._held_feds.pop(0))
                 continue
-            if self._fed_eof:
+            if self._fed_eof and not self._fed_residue:
                 break  # feed already returned None; only held blocks left
+            if self.mesh is not None:
+                # Sharded stages advance their carries by whole local
+                # chunks (the streaming ops slice at sig.frames; the
+                # sharded twins cannot — a shard's tail would live on
+                # another device), so a partial block must be the stream's
+                # LAST on a mesh. The reference's short-read protocol lets
+                # a source return fewer frames at ANY point
+                # (pipe.go:404-406, mock/mock.go:95-105) — so re-chunk
+                # host-side: park short reads and dispatch only full
+                # blocks until EOF. Exact: repacking changes no sample
+                # values, only where the block boundaries fall.
+                got = self._feed_full_block(src)
+                if got is None:
+                    break  # EOF with no residue (self._fed_eof now set)
+                feds.append(got)
+                if got[1] < self.block_size:
+                    break  # final partial at EOF
+                continue
             data = src.feed(self.block_size)
             if data is None:
                 self._fed_eof = True
                 break
-            if self._fed_partial and self.mesh is not None:
-                # Sharded stages advance their carries by whole local
-                # chunks (the streaming ops slice at sig.frames; the
-                # sharded twins cannot — a shard's tail would live on
-                # another device). A partial block therefore must be the
-                # stream's LAST on a mesh; erroring beats silently
-                # corrupting every downstream carry.
-                raise ValueError(
-                    "mesh lines require full blocks mid-stream: the feed "
-                    "returned data after a partial block (pad underruns "
-                    "to block_size, or end the stream)"
-                )
             feds.append(self._prep_fed_host(data))
             if feds[-1][1] < self.block_size:
-                self._fed_partial = True
-                break  # partial block: the stream ends at the next feed
+                break  # partial block: dispatch it alone (streaming ops
+                # carry hop residues exactly; keep batches full-block)
         # a target may have arrived DURING the last blocking feed call,
         # landing inside the already-collected range: dispatch only up to
         # it and hold the rest for the next execute (after the outer loop
@@ -602,7 +651,7 @@ class LineExecutor:
                     self._pending.append((out, eof, False))
                 if self.stats is not None:
                     self.stats.blocks += len(feds) - 1
-        if self._fed_eof and not self._held_feds:
+        if self._fed_eof and not self._held_feds and not self._fed_residue:
             self.drain()
             return EOF
         return None
@@ -707,9 +756,9 @@ class LineExecutor:
         restart is a NEW stream: the dispatch frontier — the coordinate
         system of ``push(..., at_block=N)`` — rewinds to block 0."""
         self.blocks_dispatched = 0
-        self._fed_partial = False
         self._held_feds = []
         self._fed_eof = False
+        self._fed_residue = []
         for comp in self.route.components():
             if comp.start is not None:
                 comp.start()  # raises -> caller handles rollback

@@ -240,6 +240,35 @@ def test_mesh_device_source_counts(rng):
     assert np.all(sink.values == 0.25)
 
 
+def test_mesh_device_source_channel_padding(rng):
+    """A DEVICE-step source whose channel count doesn't divide the mesh
+    channel axis: the step generates ceil(C/ch) local rows, the executor
+    zeroes the pad rows by global index, the sink slices them off — the
+    host-fed path's contract for all sources (r4 VERDICT item 6; the
+    executor raise is gone)."""
+    C, BLOCK = 3, 1024  # 3 channels on a 2-way channel axis -> pad to 4
+    n_blocks = 5
+    mesh = parallel.make_mesh(2, 4)
+    src = mock.Source(limit=n_blocks * BLOCK, channels=C, value=0.5)
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = parallel.sharded.FIR(h)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[fir.processor()], sink=sink.sink()
+        ),
+        mesh=mesh,
+    )
+    run_pipe(p)
+    assert src.messages == n_blocks
+    assert sink.values.shape == (C, n_blocks * BLOCK)
+    oracle = scipy.signal.lfilter(
+        h, [1.0], np.full((C, n_blocks * BLOCK), 0.5, np.float64), axis=1
+    )
+    assert snr_db(oracle, sink.values) > 100
+
+
 def test_mesh_device_source_partial_final(rng):
     """Limit not divisible by the chunk: the final chunk is partial and
     masked; the sink captures exactly limit frames."""
@@ -873,32 +902,87 @@ def test_mesh_dispatch_noop_preserves_state(rng):
     assert sink.values.shape == (C, BLOCK * 2)
 
 
-def test_mesh_partial_midstream_fed_block_rejected(rng):
-    """A short fed block that is NOT the stream's last raises a clear
-    error on mesh lines (sharded carries advance by whole local chunks;
-    silently zero-padding mid-stream would corrupt every tail)."""
-    C, BLOCK = 2, 1024
-    calls = [0]
+def _chunky_feed_source(data: np.ndarray, channels: int, seed: int = 7):
+    """A host feed returning random-length short reads (1..n frames per
+    call) — the reference's accept-any-length SourceFunc contract
+    (``pipe.go:404-406``, ``mock/mock.go:95-105``)."""
+    pos = [0]
+    r = np.random.default_rng(seed)
+    N = data.shape[1]
 
     def feed(n):
-        calls[0] += 1
-        if calls[0] == 2:
-            return np.ones((C, 300), np.float32)  # mid-stream underrun
-        if calls[0] > 4:
+        if pos[0] >= N:
             return None
-        return np.ones((C, n), np.float32)
+        take = min(int(r.integers(1, n + 1)), N - pos[0])
+        c = data[:, pos[0] : pos[0] + take]
+        pos[0] += take
+        return c
 
     def alloc(ctx, block):
-        return Source(output=SignalProperties(44100.0, C), feed=feed)
+        return Source(output=SignalProperties(44100.0, channels), feed=feed)
 
-    fir = parallel.sharded.FIR(np.asarray(ops.design_lowpass(63, 3000, 44100)))
+    return alloc
+
+
+def test_mesh_midstream_short_reads_rechunked(rng):
+    """The reference's short-read protocol now holds on mesh lines: a feed
+    returning random-length chunks mid-stream is re-chunked host-side into
+    full dispatch blocks (exact — repacking changes no sample values), and
+    the output matches the float64 oracle >= 100 dB end to end, partial
+    final chunk included (r4 VERDICT item 1 — the last short-read gap)."""
+    C, BLOCK = 2, 1024
+    N = BLOCK * 5 + 311
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    h = np.asarray(ops.design_lowpass(63, 3000, 44100))
+    fir = parallel.sharded.FIR(h)
+    sink = mock.Sink()
     p = pipe_tpu.Pipe(
         BLOCK,
         pipe_tpu.Line(
-            source=alloc, processors=[fir.processor()], sink=mock.Sink().sink()
+            source=_chunky_feed_source(data, C),
+            processors=[fir.processor()],
+            sink=sink.sink(),
         ),
-        mesh=parallel.make_mesh(1, 4),
+        mesh=parallel.make_mesh(2, 4),
     )
+    run_pipe(p)
+    assert sink.values.shape == (C, N)
+    oracle = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
+    assert snr_db(oracle, sink.values) > 100
+
+
+def test_mesh_short_reads_batched_with_target(rng):
+    """Short-read re-chunking composes with dispatch batching AND exact
+    mutation landing: under batch_blocks=4 a retune pushed at a block
+    target still lands on that exact chunk while the feed dribbles
+    random-length reads."""
+    C, BLOCK = 2, 1024
+    n_blocks = 12
+    data = rng.standard_normal((C, BLOCK * n_blocks)).astype(np.float32)
+    h1 = np.asarray(ops.design_lowpass(63, 3000, 44100))
+    h2 = np.asarray(ops.design_lowpass(63, 9000, 44100))
+    fir = parallel.sharded.FIR(h1)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=_chunky_feed_source(data, C, seed=11),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=parallel.make_mesh(2, 4),
+        batch_blocks=4,
+    )
+    AT = 6
     p.start()
-    with pytest.raises(pipe_tpu.errors.RunError, match="full blocks"):
-        p.wait(60)
+    p.push(fir.set_taps(h2), at_block=AT)
+    p.wait(120)
+    assert sink.values.shape == (C, BLOCK * n_blocks)
+    # The FIR carries its INPUT tail, so after the retune h2 sees the true
+    # input history: the oracle is lfilter(h1) before the cut stitched
+    # with lfilter(h2) (full history) after it.
+    cut = AT * BLOCK
+    z1 = scipy.signal.lfilter(h1, [1.0], data.astype(np.float64), axis=1)
+    z2 = scipy.signal.lfilter(h2, [1.0], data.astype(np.float64), axis=1)
+    oracle = np.concatenate([z1[:, :cut], z2[:, cut:]], axis=1)
+    assert snr_db(oracle, sink.values) > 100
