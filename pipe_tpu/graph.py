@@ -56,6 +56,16 @@ class Route:
     source: Source
     processors: List[Processor]
     sink: Sink
+    # The allocator funcs the components came from, kept so live surgery
+    # can RE-ALLOCATE downstream stages when a width-changing processor
+    # is inserted (the reference's InsertProcessor hands any allocator
+    # the predecessor's properties and rebuilds nothing because its
+    # buffers are per-message; our static shapes rebuild instead —
+    # ``pipe.go:297-312``).
+    proc_allocs: List[ProcessorAllocatorFunc] = dataclasses.field(
+        default_factory=list
+    )
+    sink_alloc: Optional[SinkAllocatorFunc] = None
 
     def components(self):
         return [self.source, *self.processors, self.sink]
@@ -184,4 +194,11 @@ def make_route(line: Line, block_size: int) -> Route:
     except Exception as e:
         raise AllocationError(f"sink: {e}") from e
 
-    return Route(context=line.context, source=source, processors=processors, sink=sink)
+    return Route(
+        context=line.context,
+        source=source,
+        processors=processors,
+        sink=sink,
+        proc_allocs=list(line.processors),
+        sink_alloc=line.sink,
+    )

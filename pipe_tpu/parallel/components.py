@@ -127,11 +127,19 @@ class ShardedOp:
                 new_carry, y = stage.apply(state, params, sig.data)
                 return new_carry, Signal(y, out_frames(sig.frames, stage))
 
+            # Width contract: a stage whose output frame count differs
+            # from its input (resampler, channelizer) declares the GLOBAL
+            # output width so downstream allocators size to what actually
+            # arrives, and live surgery can detect (and refuse, on mesh)
+            # width-changing inserts — the streaming ops' out_capacity
+            # contract on the sharded path (r5).
+            out_global = stage.out_n_local * mesh.shape[TIME_AXIS]
             comp = Processor(
                 output=self._out_props(props, stage),
                 step=step,
                 state=stage.carry,
                 params=dict(stage.params),
+                out_capacity=None if out_global == block_size else out_global,
             )
             comp.state_spec = stage.carry_spec
             comp.param_spec = stage.param_spec

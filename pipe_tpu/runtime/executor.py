@@ -48,6 +48,36 @@ def _gate(valid, new_tree, old_tree):
     return jax.tree.map(lambda n, o: jnp.where(valid, n, o), new_tree, old_tree)
 
 
+def _trees_compatible(a, b) -> bool:
+    la, da = jax.tree.flatten(a)
+    lb, db = jax.tree.flatten(b)
+    return (
+        da == db
+        and len(la) == len(lb)
+        and all(
+            jnp.shape(x) == jnp.shape(y)
+            and jnp.result_type(x) == jnp.result_type(y)
+            for x, y in zip(la, lb)
+        )
+    )
+
+
+def _carry_forward(old, new) -> None:
+    """Carry the live state/params from a component onto its re-allocated
+    replacement (width-changing live insert rebuilds everything
+    downstream): state carries whole when the tree structure and every
+    leaf shape/dtype match (filter tails, IIR states — exact, no
+    transient); params carry per key so live retunes survive the rebuild.
+    A leaf whose shape changed with the width keeps its fresh allocation
+    — a one-block transient, documented in the surgery contract."""
+    if _trees_compatible(old.state, new.state):
+        new.state = old.state
+    if isinstance(old.params, dict) and isinstance(new.params, dict):
+        for k, v in new.params.items():
+            if k in old.params and _trees_compatible(old.params[k], v):
+                new.params[k] = old.params[k]
+
+
 class LineExecutor:
     """Executes one bound line, one block per :meth:`execute` call.
 
@@ -789,11 +819,27 @@ class LineExecutor:
 
     # -- live surgery -------------------------------------------------------
 
-    def insert_processor(self, pos: int, proc) -> None:
+    def insert_processor(self, pos: int, proc, alloc=None, rebuilt=None) -> None:
         """Splice a started processor into the route at ``pos`` and recompile
         at the next block boundary (the TPU-native form of the reference's
-        two-phase handoff, ``pipe.go:297-365`` / ``run.go:146-169``)."""
+        two-phase handoff, ``pipe.go:297-365`` / ``run.go:146-169``).
+
+        ``rebuilt`` = ``(new_downstream_procs, new_sink)`` re-allocated for
+        a new block width (a width-changing insert — resampler, STFT,
+        channelizer): the swap happens HERE, at the block boundary in the
+        executor thread, carrying each old component's live state/params
+        onto its replacement where shapes match — so downstream tails
+        continue exactly and live retunes survive."""
+        if rebuilt is not None:
+            new_after, new_sink = rebuilt
+            for old, new in zip(self.route.processors[pos:], new_after):
+                _carry_forward(old, new)
+            _carry_forward(self.route.sink, new_sink)
+            self.route.processors[pos:] = new_after
+            self.route.sink = new_sink
         self.route.processors.insert(pos, proc)
+        if alloc is not None:
+            self.route.proc_allocs.insert(pos, alloc)
         self.started += 1
         self._invalidate()
 

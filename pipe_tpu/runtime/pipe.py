@@ -34,6 +34,7 @@ from pipe_tpu.graph import (
     Line,
     Route,
     allocate_processor,
+    allocate_sink,
     component_context,
     make_route,
     make_routes_aggregated,
@@ -771,7 +772,18 @@ class Pipe:
         ``push(..., at_block=)`` coordinate): the new processor's first
         processed sample is exactly ``at_block * block_size`` under any
         lookahead/batch_blocks. REQUIRED on a multi-process mesh, where
-        every host must recompile at the same chunk."""
+        every host must recompile at the same chunk.
+
+        Width-changing processors (resampler / STFT / channelizer — any
+        ``out_capacity`` different from the slot's input width) are
+        accepted on streaming (non-mesh) lines, as in the reference
+        (``pipe.go:297-312``): the downstream allocators are re-run at the
+        new width at adoption, carrying each component's live state and
+        params forward where shapes match (filter tails continue exactly;
+        a leaf whose shape depends on the block width re-initializes — a
+        one-block transient). MESH lines refuse (the aggregated dispatch
+        grid and stage shardings are fixed at build; see README 'Surface
+        contracts')."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
         if self._multiprocess and at_block is None:
@@ -793,16 +805,43 @@ class Pipe:
                     proc = allocate_processor(
                         proc_alloc, ctx, width, prev_props
                     )
+                rebuilt = None
                 if (
                     proc.out_capacity is not None
                     and proc.out_capacity != width
                 ):
-                    raise ValueError(
-                        "cannot live-insert a block-width-changing "
-                        "processor (resampler/STFT/channelizer): the "
-                        "downstream components were sized for "
-                        f"{width}-frame blocks; build a new pipe instead"
+                    if self.mesh is not None:
+                        raise ValueError(
+                            "cannot live-insert a block-width-changing "
+                            "processor (resampler/STFT/channelizer) into "
+                            "a MESH line: the aggregated dispatch grid "
+                            "and per-stage shardings were fixed at build "
+                            f"for {width}-frame blocks; build a new pipe "
+                            "(README 'Surface contracts')"
+                        )
+                    # The reference's InsertProcessor takes ANY allocator
+                    # (pipe.go:297-312) — its downstream re-points its
+                    # input and per-message buffers absorb the new width.
+                    # Our static shapes rebuild instead: re-run every
+                    # downstream allocator at the new width/properties
+                    # (control thread, like the original allocation); the
+                    # executor swaps them in at the block boundary,
+                    # carrying live state/params where shapes match.
+                    w, pr = proc.out_capacity, proc.output
+                    new_after = []
+                    for i in range(pos, len(route.processors)):
+                        old = route.processors[i]
+                        rp = allocate_processor(
+                            route.proc_allocs[i], old.context, w, pr
+                        )
+                        pr = rp.output
+                        if rp.out_capacity is not None:
+                            w = rp.out_capacity
+                        new_after.append(rp)
+                    new_sink = allocate_sink(
+                        route.sink_alloc, route.sink.context, w, pr
                     )
+                    rebuilt = (new_after, new_sink)
             except Exception as e:  # noqa: BLE001
                 handle._fail(e)
                 return
@@ -814,7 +853,7 @@ class Pipe:
                 except Exception as e:  # noqa: BLE001
                     handle._fail(e)
                     raise
-                le.insert_processor(pos, proc)
+                le.insert_processor(pos, proc, proc_alloc, rebuilt)
                 handle._set()
 
             if route.context.is_mutable():

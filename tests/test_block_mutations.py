@@ -233,6 +233,111 @@ def test_insert_processor_at_block_exact(lookahead, batch_blocks):
     assert v[-1] == 2.0
 
 
+def test_insert_width_changing_resampler_exact(rng):
+    """Live insert of a RESAMPLER (out_capacity != input width) into a
+    running streaming line (r4 VERDICT item 5): the downstream allocators
+    are re-run at the new width at the adoption boundary, carrying state
+    where shapes match — the downstream FIR's (C, T-1) input tail is
+    width-independent, so it continues EXACTLY across the adoption. The
+    landing is sample-exact at at_block and the whole output matches a
+    float64 oracle >= 100 dB. Reference: InsertProcessor takes any
+    allocator (pipe.go:297-312)."""
+    import scipy.signal
+
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties, snr_db
+
+    C, N_BLOCKS = 2, 40
+    N = N_BLOCKS * BLOCK
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    pos = [0]
+
+    def feed(n):
+        time.sleep(0.005)  # paced so the targeted insert lands mid-stream
+        if pos[0] >= N:
+            return None
+        c = data[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = ops.FIR(h)
+    r = ops.Resampler(160, 147)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=lambda ctx, b: Source(
+                output=SignalProperties(44100.0, C), feed=feed
+            ),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    target = p.block_index(0) + 6
+    assert target < N_BLOCKS - 4  # insert lands well before EOF
+    hd = p.insert_processor(0, 0, r.processor(), at_block=target)
+    assert hd.wait(60) and hd.error is None, hd.error
+    p.wait(60)
+
+    # oracle: raw stream to the cut, polyphase-resampled after it (fresh
+    # resampler state at adoption), ONE continuous FIR over the whole
+    # thing (the tail carries across the re-allocation)
+    cut = target * BLOCK
+    hp64 = ops.polyphase_design(r.up, r.down, r.taps_per_phase)
+    x64 = data.astype(np.float64)
+    tail = x64[:, cut:]
+    L, M, K = r.up, r.down, hp64.shape[1]
+    n_out = -(-tail.shape[1] * L // M)
+    j = np.arange(n_out)
+    p_, n0 = (j * M) % L, (j * M) // L
+    nidx = n0[:, None] - np.arange(K)[None, :]
+    valid = (nidx >= 0) & (nidx < tail.shape[1])
+    xg = np.where(valid[None], tail[:, np.clip(nidx, 0, tail.shape[1] - 1)], 0.0)
+    res = np.einsum("cok,ok->co", xg, hp64[p_])
+    stream = np.concatenate([x64[:, :cut], res], axis=1)
+    oracle = scipy.signal.lfilter(h, [1.0], stream, axis=1)
+
+    assert sink.values.shape == oracle.shape, (
+        sink.values.shape,
+        oracle.shape,
+    )
+    assert snr_db(oracle, sink.values) > 100
+
+
+def test_insert_width_changing_carries_downstream_params():
+    """A live retune pushed BEFORE a width-changing insert survives the
+    downstream re-allocation: params carry per key onto the replacement
+    components (a rebuild that silently reset a pushed gain to its
+    constructor value would desync the stream)."""
+    src = mock.Source(channels=1, value=1.0, interval=0.005)
+    gain = ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(),
+            processors=[gain.processor()],
+            sink=sink.sink(),
+        ),
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    p.push(gain.set_gain(0.5))
+    _wait_samples(sink, sink.samples + 4 * BLOCK)
+    target = p.block_index(0) + 6
+    hd = p.insert_processor(0, 0, ops.Resampler(2, 1).processor(), at_block=target)
+    assert hd.wait(60) and hd.error is None, hd.error
+    _wait_samples(sink, (target + 8) * BLOCK)
+    p.stop(60)
+    v = sink.values[0]
+    # steady state after the adoption: still the PUSHED gain, not the
+    # constructor's 1.0 (the resampler's startup ramp has settled)
+    assert np.allclose(v[-4 * BLOCK :], 0.5, atol=1e-3), v[-8:]
+
+
 def test_stale_target_does_not_fire_into_next_stream():
     """A restarted pipe is a NEW stream (reference pipe_test.go:108-131):
     an at_block push the previous stream never reached (it was stopped

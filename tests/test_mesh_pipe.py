@@ -902,6 +902,29 @@ def test_mesh_dispatch_noop_preserves_state(rng):
     assert sink.values.shape == (C, BLOCK * 2)
 
 
+def test_mesh_insert_width_changing_refused(rng):
+    """Width-changing live inserts stay refused on MESH lines (the
+    aggregated dispatch grid and per-stage shardings were fixed at
+    build); streaming lines accept them since r5 — README 'Surface
+    contracts'."""
+    C, BLOCK = 2, 588  # N_local=147 satisfies the resampler's shape rule,
+    # so the refusal reached is the width-change one, not the shape error
+    src = mock.Source(channels=C, value=1.0, interval=0.002)
+    sink = mock.Sink(discard=True)
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+        mesh=parallel.make_mesh(1, 4),
+    )
+    p.start()
+    h = p.insert_processor(
+        0, 0, parallel.sharded.Resample(48000, 44100).processor()
+    )
+    assert h.wait(30)
+    assert h.error is not None and "MESH" in str(h.error), h.error
+    p.stop(30)
+
+
 def _chunky_feed_source(data: np.ndarray, channels: int, seed: int = 7):
     """A host feed returning random-length short reads (1..n frames per
     call) — the reference's accept-any-length SourceFunc contract

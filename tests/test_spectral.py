@@ -353,9 +353,15 @@ def test_width_changing_chain_composition(rng):
     assert snr_db(d, y2) >= SNR_TARGET
 
 
-def test_insert_width_changing_processor_rejected(rng):
-    """Live-inserting a width-changing processor (resampler/STFT) must
-    fail loudly: downstream components were sized for the old width."""
+def test_insert_width_changing_processor_live(rng):
+    """Live-inserting a width-changing processor (resampler/STFT) into a
+    STREAMING line now succeeds (r5, VERDICT r4 item 5): the downstream
+    allocators re-run at the new width at the adoption boundary. The
+    stream keeps flowing afterwards; exact-landing parity is pinned in
+    test_block_mutations.py. (Mesh lines still refuse —
+    test_mesh_pipe.py.)"""
+    import time as _time
+
     import pipe_tpu
     from pipe_tpu import mock
 
@@ -366,11 +372,16 @@ def test_insert_width_changing_processor_rejected(rng):
         pipe_tpu.Line(source=src.source(), sink=sink.sink()),
     )
     p.start()
-    # hop 48 does not divide block 512 -> out capacity 528 != 512
+    # hop 48 does not divide block 512 -> out capacity 528 != 512: the
+    # sink is re-allocated for 528-frame blocks at adoption
     h = p.insert_processor(0, 0, ops.SpectralGain(240, 48).processor())
-    assert h.wait(30)
-    assert h.error is not None and "width-changing" in str(h.error)
-    # a hop that preserves the width (64 | 512) inserts fine
+    assert h.wait(30) and h.error is None, h.error
+    before = sink.samples
+    deadline = _time.time() + 30
+    while sink.samples < before + 4 * 528:
+        assert _time.time() < deadline, "stream stalled after insert"
+        _time.sleep(0.005)
+    # a width-preserving hop (64 | 512) still inserts with no rebuild
     h2 = p.insert_processor(0, 0, ops.SpectralGain(256, 64).processor())
     assert h2.wait(30) and h2.error is None
     p.stop(30)
