@@ -909,7 +909,7 @@ class DelayStage(Stage):
     selecting the ring slot its destination's chunk-back distance asks
     for — payload ratio ~1.0 chunk-size-independent.
 
-    Three regimes:
+    Four regimes:
 
     - **pure delay** (no feedback requested, ``D < N``): ring of the
       input stream x; ``set_feedback`` on the wrapper raises (structural
@@ -919,16 +919,25 @@ class DelayStage(Stage):
       within a chunk — the ring stores s and feedback is structurally
       free (mirroring the streaming ring at ``D >= block_size``);
       ``feedback`` is a live traced parameter.
-    - **feedback echo with** ``D < N``: the recurrence crosses device
-      boundaries; the D-history transfer across one m-sample segment is
-      an affine map with a rotated index — lane j gets gain
-      ``fb^{(m+j)//D}`` and rotation ``m % D``, both CLOSED FORMS in m —
-      so only the (C, D) offset vectors ride the cross-device exclusive-
-      prefix ppermute ladder (the r3 ladder also shipped the (D,) gain
-      vector and the rotation per hop). The entering history recovered,
-      the delayed tap needs no extra exchange. The ladder moves
-      O(C*D*log T) bytes per step with D < N bounded by the chunk — see
-      docs/PERF_NOTES.md "Delay traffic".
+    - **feedback echo with** ``D <= n_local`` (ladder): the recurrence
+      crosses device boundaries; the D-history transfer across one
+      m-sample segment is an affine map with a rotated index — lane j
+      gets gain ``fb^{(m+j)//D}`` and rotation ``m % D``, both CLOSED
+      FORMS in m — so only the (C, D) offset vectors ride the
+      cross-device exclusive-prefix ppermute ladder (the r3 ladder also
+      shipped the (D,) gain vector and the rotation per hop). Traffic
+      ``(log2 T + 2) * D/n_local`` <= ~4x.
+    - **feedback echo with** ``n_local < D < N`` (wave-DAG, r5): the
+      dependency distance D makes positions ``[w*D, (w+1)*D)`` a wave
+      depending only on the wave before it, so the whole chunk evaluates
+      in ``W = ceil(N/D)`` ELEMENTWISE passes, each fetching its D-back
+      window with the pure tap's two exact-slice cyclic ppermutes (the
+      CURRENT s in the send buffer). Traffic ``W * ~1.0x`` payload vs
+      the ladder's ``4*D/n_local`` (11.2x at D=0.7N; measured shootout
+      in ``benchmarks/delay_wave_dag.py``), and the evaluation order is
+      exactly the sequential recurrence — no affine powers, so the
+      precision is the streaming engine's. See docs/PERF_NOTES.md
+      "Delay traffic".
     """
 
     def __init__(self, delay_frames: int, feedback: float = 0.0,
@@ -958,13 +967,24 @@ class DelayStage(Stage):
             or self._init["feedback"] != 0.0
             or bool(self._allow_feedback)
         )
-        self._ladder = self.can_feedback and D < N
+        # Feedback regimes by D vs the sharding (r5 wave-DAG adoption,
+        # VERDICT r4 item 7 — measured in benchmarks/delay_wave_dag.py):
+        #   D <= n_local : offsets-only affine prefix LADDER
+        #                  (traffic (log2 T + 2) * D/n_local <= ~4x)
+        #   n_local < D < N : WAVE-DAG — ceil(N/D) elementwise waves of
+        #                  exact-slice ring fetches (traffic W * 1.0x,
+        #                  vs the ladder's 4*D/n_local which reaches
+        #                  ~15x as D -> N); bitwise the sequential
+        #                  evaluation order, so precision is exact
+        #   D >= N       : structurally free (ring of s, zero extra)
+        self._wave = self.can_feedback and n_local < D < N
+        self._ladder = self.can_feedback and D <= n_local
         self.params = {
             k: jnp.asarray(v, jnp.float32) for k, v in self._init.items()
         }
         self.param_spec = {k: P() for k in self._init}
         if self._ladder:
-            # D < N: the replicated history is bounded by the chunk
+            # D <= n_local: the replicated history is bounded by the chunk
             self.carry = {"hist": jnp.zeros((c_global, D), jnp.float32)}
             self.carry_spec = {"hist": P(CH_AXIS, None)}
         else:
@@ -1020,6 +1040,38 @@ class DelayStage(Stage):
             ring = carry["ring"]  # (C, kc*n) own previous blocks
             h = -(-D // n)
             r = h * n - D  # 0 <= r < n: window offset in block g-h
+            if self._wave:
+                # WAVE-DAG feedback for n_local < D < N (r5): positions
+                # [w*D, (w+1)*D) form wave w — each depends only on the
+                # wave before it (s[p-D] is w-1's final value) or, for
+                # wave 0, on the previous chunk's ring. Each wave is ONE
+                # elementwise fma over a freshly fetched D-back window
+                # (the same two exact-slice cyclic ppermutes as the pure
+                # tap, with the CURRENT s in the send buffer), masked to
+                # its own positions. ceil(N/D) waves move W * ~1.0x
+                # payload where the ladder moved 4*D/n_local (11x at
+                # D=0.7N — benchmarks/delay_wave_dag.py), and the
+                # evaluation order is exactly the sequential recurrence.
+                fb = params["feedback"]
+                W = -(-self._N // D)
+                g = lax.axis_index(TIME_AXIS)
+                p = g * n + jnp.arange(n, dtype=jnp.int32)  # global pos
+                s = x
+                delayed = jnp.zeros_like(x)
+                for w in range(W):
+                    buf = jnp.concatenate(
+                        [jnp.zeros_like(x), ring, s], axis=1
+                    )
+                    dfull = jnp.concatenate(
+                        [self._fetch(buf, h, r, n),
+                         self._fetch(buf, h - 1, 0, r)],
+                        axis=1,
+                    )
+                    mask = ((p >= w * D) & (p < (w + 1) * D))[None, :]
+                    s = jnp.where(mask, x + fb * dfull, s)
+                    delayed = jnp.where(mask, dfull, delayed)
+                y = params["dry"] * x + params["wet"] * delayed
+                return {"ring": jnp.concatenate([ring[:, n:], s], axis=1)}, y
             # tap window [g*n - D, g*n - D + n) = block(g-h)[r:] ++
             # block(g-h+1)[:r]; for D >= N both pieces predate this
             # chunk, so the ring may store s and feedback is free (the

@@ -38,14 +38,17 @@ def main():
     )
     assert jax.process_count() == nproc
 
-    # time axis spans BOTH processes: the FIR halo crosses the process
+    # time axis spans ALL processes: the FIR halo crosses a process
     # boundary (the DCN edge) every single chunk
     mesh = parallel.make_global_mesh(channel_shards=1, time_shards=2 * nproc)
 
-    C, CHUNK, N_CHUNKS = 2, 512, 1000
+    # 4-process runs shorten the stream (4 gloo processes share the
+    # machine's cores; the protocol coverage is per-round, not per-chunk)
+    C, CHUNK = 2, 512
+    N_CHUNKS = 1000 if nproc <= 2 else 400
     h1 = np.asarray(ops.design_lowpass(63, 4000, 44100))
     h2 = h1 * 0.5
-    SWITCH = 500  # block index of the retune
+    SWITCH = N_CHUNKS // 2  # block index of the retune
 
     rng = np.random.default_rng(7)  # identical stream on every host
     data = rng.standard_normal((C, CHUNK * N_CHUNKS)).astype(np.float32)
@@ -111,6 +114,13 @@ def main():
 
         while p.block_index() < 64:  # mid-stream, past a few rounds
             _time.sleep(0.005)
+        # STAGGERED across hosts (r5, 4-process coverage): host pid pushes
+        # 0.08*pid seconds later, so the group's pending counts pass
+        # through asymmetric states (1,0,0,0) -> ... -> (1,1,1,1); the
+        # group-MINIMUM must deliver nothing until every host has pushed,
+        # then exactly one batch at the same round frontier everywhere —
+        # with two hosts min() and "all agree" were indistinguishable.
+        _time.sleep(0.08 * pid)
         p.push(fir.set_taps(h2))  # untargeted
         p.wait(600.0)
 
@@ -134,6 +144,33 @@ def main():
             flush=True,
         )
         return
+
+    if mode == "untargeted_stale":
+        # CONTRACT-VIOLATION probe (r5, 4-process coverage): host 0 pushes
+        # an untargeted batch its peers never match. The group minimum
+        # stays 0, so nothing may ever deliver (a 2-host min() could not
+        # distinguish this from agreement); after UNTARGETED_STALE_ROUNDS
+        # health rounds host 0 must fail LOUDLY and the flag must abort
+        # every peer — the batch must not vanish silently at EOF.
+        p.UNTARGETED_STALE_ROUNDS = 4  # fire well before the stream ends
+        p.start()
+        import time as _time
+
+        while p.block_index() < 32:
+            _time.sleep(0.005)
+        if pid == 0:
+            p.push(fir.set_taps(h2))  # untargeted, never matched by peers
+        try:
+            p.wait(600.0)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).lower()
+            if pid == 0:
+                assert "without a matching push" in msg, e
+            else:
+                assert "peer" in msg, e
+            print(f"untargeted_stale proc {pid} OK", flush=True)
+            return
+        raise AssertionError(f"proc {pid}: expected the run to fail")
 
     if mode == "stream_batched":
         # VERDICT r2 item 2: batch_blocks > 1 on a multi-host pipe — one
@@ -366,9 +403,9 @@ def main():
 
         N2 = 400
 
-        def make_line(seed, taps, mctx):
+        def make_line(seed, taps, mctx, n_chunks=N2):
             r2 = np.random.default_rng(seed)
-            d = r2.standard_normal((C, CHUNK * N2)).astype(np.float32)
+            d = r2.standard_normal((C, CHUNK * n_chunks)).astype(np.float32)
             q = [0]
 
             def feed2(n):
@@ -389,7 +426,11 @@ def main():
             )
 
         mctx = mut.mutable()
-        data_a, sink_a, line_a = make_line(7, h1, mctx)
+        # STAGGERED EOF (r5): line A's stream is half as long — it EOFs,
+        # flushes, and splices out of the sync-group sweep mid-run, on the
+        # same dispatch on every host, while line B keeps issuing its
+        # cross-host collectives to the end
+        data_a, sink_a, line_a = make_line(7, h1, mctx, n_chunks=N2 // 2)
         data_b, sink_b, line_b = make_line(8, h2, mctx)
         p2 = pipe_tpu.Pipe(
             CHUNK, line_a, line_b, mesh=mesh, host_sync_every=16

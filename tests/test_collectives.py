@@ -122,14 +122,31 @@ CASES = [
         32768,
         0.2,
     ),
-    # feedback, the ladder's worst corner (large D still < chunk):
-    # bounded by 4*D/n_local with D < chunk. Measured 2.44 (r3: 4.27
-    # plus it degraded toward ~7 as D -> chunk).
+    # feedback, the ladder's worst remaining corner (D just under
+    # n_local; D > n_local is the wave-DAG's band since r5): bounded by
+    # 4*D/n_local with D <= n_local. Measured 2.441 — bound tightened
+    # 2.9 -> 2.6 with the band now closed (VERDICT r4 item 7).
     (
         "delay_feedback_5000",
         lambda: [par.DelayStage(5000, feedback=0.5)],
         32768,
-        2.9,
+        2.6,
+    ),
+    # feedback, n_local < D < N: the r5 WAVE-DAG — ceil(N/D) elementwise
+    # waves of exact-slice fetches. Measured 3.00 at D=12000 (W=3; the
+    # ladder measured 5.86 here) and 2.00 at D=0.7N (ladder: 11.20) —
+    # benchmarks/delay_wave_dag.py has the full shootout.
+    (
+        "delay_feedback_12000_wave",
+        lambda: [par.DelayStage(12000, feedback=0.5)],
+        32768,
+        3.4,
+    ),
+    (
+        "delay_feedback_22937_wave",
+        lambda: [par.DelayStage(22937, feedback=0.5)],
+        32768,
+        2.3,
     ),
     # feedback, D >= chunk: structurally FREE — the ring stores the
     # summed stream and the recurrence never crosses devices in-chunk;

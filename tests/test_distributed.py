@@ -47,19 +47,19 @@ def test_two_process_group_sharded_chain():
         assert f"proc {pid} OK" in out
 
 
-def _run_workers(worker_name: str, args, timeout=300):
+def _run_workers(worker_name: str, args, timeout=300, n_procs=2):
     worker = os.path.join(os.path.dirname(__file__), worker_name)
     coord = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, *args, str(pid), "2", coord],
+            [sys.executable, worker, *args, str(pid), str(n_procs), coord],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
             env=env,
         )
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
     outs = []
     for p in procs:
@@ -190,3 +190,78 @@ def test_two_host_abort_in_final_window():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"abort_late proc {pid} OK" in out
+
+
+# -- 4-process group (r5, VERDICT r4 item 4): the corners a 2-process
+# -- group cannot reach — group-minimum vs all-agree, multiple survivors,
+# -- staggered line EOF in a bigger sweep ---------------------------------
+
+
+def test_four_host_stream_time_axis_spans_processes():
+    """A 1x8 time-sharded chunk stream across FOUR real processes: the FIR
+    halo crosses three DCN process boundaries every chunk, a targeted
+    retune lands on the same sample everywhere, >= 100 dB on every host."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["stream"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"stream proc {pid} OK" in out
+
+
+def test_four_host_untargeted_push_agreement_staggered():
+    """Untargeted pushes STAGGERED across four hosts: the pending counts
+    pass through asymmetric states (1,0,0,0 ... 1,1,1,1); the
+    group-minimum agreement must deliver nothing until all four hosts
+    have pushed, then land the batch at the SAME round-aligned chunk on
+    every host. With two processes min() and 'all agree' were
+    indistinguishable — this is the corner that tells them apart."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["stream_untargeted"], timeout=600, n_procs=4
+    )
+    landed = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"stream_untargeted proc {pid} OK" in out
+        landed.append(out.split("landed_at ")[1].split()[0])
+    assert len(set(landed)) == 1, f"hosts landed at different chunks: {landed}"
+
+
+def test_four_host_unmatched_untargeted_push_fails_loudly():
+    """One host pushes an untargeted batch its three peers never match:
+    the group minimum stays 0 forever, so nothing may deliver, and after
+    the stale-round budget the pushing host fails LOUDLY ('without a
+    matching push') and its flag aborts all three peers — the batch must
+    not vanish silently."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["untargeted_stale"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"untargeted_stale proc {pid} OK" in out
+
+
+def test_four_host_abort_three_survivors():
+    """First-error-wins with THREE survivors: host 1 fails mid-stream; its
+    exit padding must complete the in-flight chunks of all three healthy
+    hosts (each raises PeerAbortError instead of hanging in a half-issued
+    collective)."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["abort"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"abort proc {pid} OK" in out
+
+
+def test_four_host_multiline_staggered_eof_with_surgery():
+    """Two lines in ONE sync group over a 4-process mesh: line A EOFs and
+    splices out of the sweep at half-stream (same dispatch on every host)
+    while line B runs on; targeted surgery lands identically everywhere;
+    both sinks match their float64 oracles on all four hosts."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["multiline"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"multiline proc {pid} OK" in out
