@@ -59,6 +59,23 @@ def main():
 
     sps = chunk * channels / dt
     realtime = channels * SAMPLE_RATE
+
+    # Per-config table (r5, VERDICT r4 item 2): every BASELINE.md config
+    # re-measured on the SAME hardware in the SAME run as the headline,
+    # embedded in the one JSON line so BENCH_r{N}.json carries all five.
+    configs = {}
+    if os.environ.get("BENCH_CONFIGS", "1") != "0":
+        from benchmarks import configs as cfg
+
+        cfg.QUIET = True
+        for key in sorted(cfg.ALL):
+            try:
+                for rec in cfg.ALL[key]() or []:
+                    configs[rec.pop("config")] = rec
+            except Exception as e:  # noqa: BLE001 - one config must not
+                # take down the headline metric
+                configs[f"config{key}"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     print(
         json.dumps(
             {
@@ -66,6 +83,7 @@ def main():
                 "value": round(sps, 1),
                 "unit": "samples/s",
                 "vs_baseline": round(sps / realtime, 2),
+                "configs": configs,
             }
         )
     )

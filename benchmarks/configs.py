@@ -30,18 +30,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _emit(name, samples, seconds, note=""):
-    print(
-        json.dumps(
-            {
-                "config": name,
-                "samples_per_s": round(samples / seconds, 1),
-                "seconds": round(seconds, 4),
-                "note": note,
-            }
-        ),
-        flush=True,
-    )
+#: set True (bench.py does) to suppress per-config stdout lines — the
+#: driver contract is ONE JSON line from bench.py, which embeds these
+#: records in its "configs" field instead
+QUIET = False
+
+
+def _emit(name, samples, seconds, note="", **extra):
+    rec = {
+        "config": name,
+        "samples_per_s": round(samples / seconds, 1),
+        "seconds": round(seconds, 4),
+        "note": note,
+        **extra,
+    }
+    if not QUIET:
+        print(json.dumps(rec), flush=True)
+    return rec
 
 
 def config1():
@@ -65,10 +70,11 @@ def config1():
     t0 = time.perf_counter()
     pipe_tpu.run(block, line2, lookahead=32)
     dt = time.perf_counter() - t0
-    _emit(
+    recs = [_emit(
         "1_passthrough_gain_512", blocks * block, dt,
         f"{dt/blocks*1e6:.0f} us/block dispatch, lookahead 32",
-    )
+        us_per_block=round(dt / blocks * 1e6, 1),
+    )]
 
     # batched variant: one lax.scan dispatch per 32 blocks
     for k in (32,):
@@ -88,10 +94,12 @@ def config1():
         t0 = time.perf_counter()
         pipe_tpu.run(block, lineb, lookahead=32, batch_blocks=k)
         dt = time.perf_counter() - t0
-        _emit(
+        recs.append(_emit(
             "1b_passthrough_gain_512_batched", blocks * block, dt,
             f"{dt/blocks*1e6:.0f} us/block, batch_blocks {k}",
-        )
+            us_per_block=round(dt / blocks * 1e6, 1),
+        ))
+    return recs
 
 
 def config2():
@@ -115,11 +123,20 @@ def config2():
     )
     t0 = time.perf_counter()
     p.start()
+    le = p._exec_of_route[0]
+    while le.blocks_dispatched < 4:
+        time.sleep(0.002)  # let the step compile before counting
+    compiled_before = le.compile_counts()
     for i in range(50):  # 50 pushes mid-stream: none may recompile
         p.push(g.set_gain(1.0 - i * 0.01))
     p.wait(600)
     dt = time.perf_counter() - t0
-    _emit("2_stereo_gain_mix_mutated", blocks * block * 2, dt, "50 live pushes")
+    recompiles = le.compile_counts() - compiled_before
+    return [_emit(
+        "2_stereo_gain_mix_mutated", blocks * block * 2, dt,
+        f"50 live pushes, {recompiles} recompiles",
+        recompiles=recompiles,
+    )]
 
 
 def _chunk_bench(name, fn, state, x, in_samples_per_step, steps=64, note=""):
@@ -144,7 +161,7 @@ def _chunk_bench(name, fn, state, x, in_samples_per_step, steps=64, note=""):
         float(probe(y))
         times[n] = time.perf_counter() - t0
     dt = (times[steps] - times[n_short]) / (steps - n_short)
-    _emit(name, in_samples_per_step, dt, note)
+    return _emit(name, in_samples_per_step, dt, note)
 
 
 def config3():
@@ -167,7 +184,7 @@ def config3():
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((C, chunk)), jnp.float32
     )
-    _chunk_bench("3_fir255_resample_8ch", fn, state, x, C * chunk)
+    return [_chunk_bench("3_fir255_resample_8ch", fn, state, x, C * chunk)]
 
 
 def config4():
@@ -198,7 +215,9 @@ def config4():
 
     state = (ols_init_state(C, block, spec.shape[1]), biquad_init_state(C, 1))
     x = jnp.asarray(rng.standard_normal((C, block)), jnp.float32)
-    _chunk_bench("4_ols64k_eq_16ch", fn, state, x, C * block, note="8192-frame blocks")
+    return [_chunk_bench(
+        "4_ols64k_eq_16ch", fn, state, x, C * block, note="8192-frame blocks"
+    )]
 
 
 def config5():
@@ -237,12 +256,12 @@ def config5():
         float(probe(y))  # forces the whole run via the carry chain
         times[steps] = time.perf_counter() - t0
     dt = (times[64] - times[8]) / 56
-    _emit(
+    return [_emit(
         "5_sharded_64ch_mix",
         C * chunk,
         dt,
         f"mesh {ch}x{t} over {n} device(s)",
-    )
+    )]
 
 
 ALL = {f.__name__[-1]: f for f in (config1, config2, config3, config4, config5)}

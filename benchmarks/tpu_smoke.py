@@ -94,6 +94,48 @@ def main():
     check("oscillator", lambda: osc_block(
         jnp.asarray(0, jnp.int32), num, den, B)[0])
 
+    # r4-rewritten STREAMING carry paths on the device, via the public
+    # Pipe with an awkward block size: STFT hop-residue carry (hop does
+    # not divide the block), channelizer pend carry (block not a K
+    # multiple), block-ring feedback delay (D > block), partial final
+    # block included (limit % block != 0)
+    def stream_check(name, make_procs, channels=2, block=500, blocks=12):
+        try:
+            import pipe_tpu
+            from pipe_tpu import mock
+
+            src = mock.Source(
+                value=0.5, channels=channels, limit=block * blocks + 123
+            )
+            sink = mock.Sink()
+            pipe_tpu.run(
+                block,
+                pipe_tpu.Line(
+                    source=src.source(), processors=make_procs(),
+                    sink=sink.sink(),
+                ),
+            )
+            ok = sink.values.size > 0 and bool(
+                np.isfinite(sink.values).all()
+            )
+            results.append((name, "OK" if ok else "NONFINITE"))
+        except Exception as e:  # noqa: BLE001 - report any backend failure
+            results.append((name, f"FAIL {type(e).__name__}: {str(e)[:80]}"))
+
+    from pipe_tpu import ops as _ops
+
+    stream_check(
+        "stream_stft_hop_residue",
+        lambda: [_ops.SpectralGain(240, 48).processor()],
+    )
+    stream_check(
+        "stream_channelizer_pend", lambda: [_ops.Channelizer(8).processor()]
+    )
+    stream_check(
+        "stream_ring_delay_fb",
+        lambda: [_ops.Delay(1234, feedback=0.4, wet=0.5, dry=0.5).processor()],
+    )
+
     width = max(len(n) for n, _ in results)
     failed = False
     for name, status in results:
