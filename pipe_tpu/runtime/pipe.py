@@ -446,6 +446,21 @@ class Pipe:
                                 f"stream (frontier "
                                 f"{executor.blocks_dispatched})"
                             )
+                        # same audit for UNTARGETED batches (r5): a batch
+                        # still awaiting cross-host agreement when the
+                        # stream ends would otherwise vanish silently —
+                        # before the stale-round budget fires, if the
+                        # stream is short
+                        with self._untargeted_lock:
+                            pending_unt = len(self._untargeted_q)
+                        if pending_unt:
+                            raise RuntimeError(
+                                f"{pending_unt} untargeted push batch(es) "
+                                "pending at end of stream — not matched "
+                                "by a push on every peer host before the "
+                                "stream ended (multi-host symmetric-push "
+                                "contract)"
+                            )
                     break
                 if sync is not None and sync.due(executor.blocks_dispatched):
                     self._health_round(sync)  # raises PeerAbortError

@@ -172,6 +172,62 @@ def main():
             return
         raise AssertionError(f"proc {pid}: expected the run to fail")
 
+    if mode == "untargeted_eof":
+        # r5 EOF audit: an untargeted batch still awaiting agreement when
+        # the stream ENDS (too late for any health round to deliver it,
+        # too early for the stale-round budget) must fail loudly on the
+        # pushing host, not vanish. Every host pauses its feed briefly at
+        # chunk 35 (symmetric pacing) so host 0's push lands inside the
+        # final window after the last round (rounds at 16 and 32; EOF at
+        # 40).
+        import time as _time
+
+        fir_e = parallel.sharded.FIR(h1)
+        sink_e = mock.Sink(discard=True)
+        short = np.zeros((C, CHUNK * 40), np.float32)
+        qpos = [0]
+
+        def feed_e(n):
+            if qpos[0] == 35 * CHUNK:
+                _time.sleep(0.4)
+            if qpos[0] >= short.shape[1]:
+                return None
+            c = short[:, qpos[0] : qpos[0] + n]
+            qpos[0] += n
+            return c
+
+        pe = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=lambda ctx, b: Source(
+                    output=SignalProperties(44100.0, C), feed=feed_e
+                ),
+                processors=[fir_e.processor()],
+                sink=sink_e.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=16,
+        )
+        pe.start()
+        if pid == 0:
+            while pe.block_index() < 33:
+                _time.sleep(0.002)
+            pe.push(fir_e.set_taps(h2))  # untargeted, after the last round
+        try:
+            pe.wait(600.0)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).lower()
+            if pid == 0:
+                assert (
+                    "pending at end of stream" in msg
+                    or "without a matching push" in msg
+                ), e
+            else:
+                assert "peer" in msg, e
+            print(f"untargeted_eof proc {pid} OK", flush=True)
+            return
+        raise AssertionError(f"proc {pid}: expected the run to fail")
+
     if mode == "stream_batched":
         # VERDICT r2 item 2: batch_blocks > 1 on a multi-host pipe — one
         # scanned dispatch advances 8 chunks on both hosts in lockstep;

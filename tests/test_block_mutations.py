@@ -247,13 +247,20 @@ def test_insert_width_changing_resampler_exact(rng):
     from pipe_tpu.components import Source
     from pipe_tpu.signal import SignalProperties, snr_db
 
+    import threading
+
     C, N_BLOCKS = 2, 40
     N = N_BLOCKS * BLOCK
     data = rng.standard_normal((C, N)).astype(np.float32)
     pos = [0]
+    # deterministic under suite load: the feed holds at block 2 until the
+    # surgery's block target is DELIVERED to the executor's destination,
+    # so the frontier cannot race past the target
+    target_queued = threading.Event()
 
     def feed(n):
-        time.sleep(0.005)  # paced so the targeted insert lands mid-stream
+        if pos[0] >= 2 * BLOCK:
+            target_queued.wait(60)
         if pos[0] >= N:
             return None
         c = data[:, pos[0] : pos[0] + n]
@@ -275,10 +282,14 @@ def test_insert_width_changing_resampler_exact(rng):
         ),
     )
     p.start()
-    _wait_samples(sink, BLOCK)
-    target = p.block_index(0) + 6
-    assert target < N_BLOCKS - 4  # insert lands well before EOF
+    target = 6
     hd = p.insert_processor(0, 0, r.processor(), at_block=target)
+    le = p._exec_of_route[0]
+    deadline = time.time() + 60
+    while le._next_target(0) != target:  # control thread delivered it?
+        assert time.time() < deadline, "surgery target never delivered"
+        time.sleep(0.002)
+    target_queued.set()
     assert hd.wait(60) and hd.error is None, hd.error
     p.wait(60)
 

@@ -241,6 +241,19 @@ def test_four_host_unmatched_untargeted_push_fails_loudly():
         assert f"untargeted_stale proc {pid} OK" in out
 
 
+def test_four_host_untargeted_pending_at_eof_fails_loudly():
+    """An untargeted batch pushed after the LAST health round — no round
+    left to deliver it, stream too short for the stale budget — must trip
+    the r5 end-of-stream audit on the pushing host (its peers abort via
+    the flag), never vanish silently."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["untargeted_eof"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"untargeted_eof proc {pid} OK" in out
+
+
 def test_four_host_abort_three_survivors():
     """First-error-wins with THREE survivors: host 1 fails mid-stream; its
     exit padding must complete the in-flight chunks of all three healthy
