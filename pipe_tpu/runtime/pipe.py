@@ -791,14 +791,15 @@ class Pipe:
 
         Width-changing processors (resampler / STFT / channelizer — any
         ``out_capacity`` different from the slot's input width) are
-        accepted on streaming (non-mesh) lines, as in the reference
-        (``pipe.go:297-312``): the downstream allocators are re-run at the
-        new width at adoption, carrying each component's live state and
-        params forward where shapes match (filter tails continue exactly;
-        a leaf whose shape depends on the block width re-initializes — a
-        one-block transient). MESH lines refuse (the aggregated dispatch
-        grid and stage shardings are fixed at build; see README 'Surface
-        contracts')."""
+        accepted, as in the reference (``pipe.go:297-312``): the
+        downstream allocators are re-run at the new width at adoption,
+        carrying each component's live state and params forward where
+        shapes match (filter tails continue exactly; a leaf whose shape
+        depends on the block width re-initializes — a one-block
+        transient). On a MESH the rebuild keeps the existing dispatch
+        grid and shardings; a new width that violates a downstream
+        stage's shape rule refuses loudly instead of re-aggregating
+        under the stream (README 'Surface contracts')."""
         if not self._running:
             raise RuntimeError("pipe isn't running")
         if self._multiprocess and at_block is None:
@@ -825,15 +826,6 @@ class Pipe:
                     proc.out_capacity is not None
                     and proc.out_capacity != width
                 ):
-                    if self.mesh is not None:
-                        raise ValueError(
-                            "cannot live-insert a block-width-changing "
-                            "processor (resampler/STFT/channelizer) into "
-                            "a MESH line: the aggregated dispatch grid "
-                            "and per-stage shardings were fixed at build "
-                            f"for {width}-frame blocks; build a new pipe "
-                            "(README 'Surface contracts')"
-                        )
                     # The reference's InsertProcessor takes ANY allocator
                     # (pipe.go:297-312) — its downstream re-points its
                     # input and per-message buffers absorb the new width.
@@ -841,21 +833,38 @@ class Pipe:
                     # downstream allocator at the new width/properties
                     # (control thread, like the original allocation); the
                     # executor swaps them in at the block boundary,
-                    # carrying live state/params where shapes match.
+                    # carrying live state/params where shapes match. On a
+                    # mesh the rebuild keeps the EXISTING dispatch grid
+                    # and shardings — a new width that violates a
+                    # downstream stage's shape rule refuses loudly
+                    # (re-aggregating mid-run would change the at_block
+                    # grid under the stream; README 'Surface contracts').
+                    from pipe_tpu.errors import ShapeConstraintError
+
                     w, pr = proc.out_capacity, proc.output
-                    new_after = []
-                    for i in range(pos, len(route.processors)):
-                        old = route.processors[i]
-                        rp = allocate_processor(
-                            route.proc_allocs[i], old.context, w, pr
-                        )
-                        pr = rp.output
-                        if rp.out_capacity is not None:
-                            w = rp.out_capacity
-                        new_after.append(rp)
-                    new_sink = allocate_sink(
-                        route.sink_alloc, route.sink.context, w, pr
-                    )
+                    try:
+                        with mesh_scope(self.mesh):
+                            new_after = []
+                            for i in range(pos, len(route.processors)):
+                                old = route.processors[i]
+                                rp = allocate_processor(
+                                    route.proc_allocs[i], old.context, w, pr
+                                )
+                                pr = rp.output
+                                if rp.out_capacity is not None:
+                                    w = rp.out_capacity
+                                new_after.append(rp)
+                            new_sink = allocate_sink(
+                                route.sink_alloc, route.sink.context, w, pr
+                            )
+                    except ShapeConstraintError as e:
+                        raise ValueError(
+                            "cannot live-insert this width-changing "
+                            f"processor: the new {proc.out_capacity}-frame "
+                            "block width violates a downstream stage's "
+                            f"shape rule on this MESH ({e}); build a new "
+                            "pipe (README 'Surface contracts')"
+                        ) from e
                     rebuilt = (new_after, new_sink)
             except Exception as e:  # noqa: BLE001
                 handle._fail(e)

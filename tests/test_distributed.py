@@ -267,6 +267,32 @@ def test_four_host_abort_three_survivors():
         assert f"abort proc {pid} OK" in out
 
 
+def test_four_host_heavy_collectives_ols_delay_stft():
+    """The heavy collective set over a FOUR-process group: the bin-sharded
+    distributed-FDL OLS's two all_to_all transposes, the feedback delay
+    ladder, and the dual-halo STFT all cross three DCN edges every chunk;
+    every host matches the float64 oracle > 100 dB."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["ols_delay"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"ols_delay proc {pid} OK" in out
+
+
+def test_four_host_checkpoint_resume():
+    """Checkpoint/resume across a 4-process mesh: the snapshot's
+    collective gather of non-addressable leaves (including the 4-D
+    bin-sharded FDL carry) spans four processes; resumed output equals
+    the uninterrupted oracle on every host."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["ckpt"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"ckpt proc {pid} OK" in out
+
+
 def test_four_host_multiline_staggered_eof_with_surgery():
     """Two lines in ONE sync group over a 4-process mesh: line A EOFs and
     splices out of the sweep at half-stream (same dispatch on every host)

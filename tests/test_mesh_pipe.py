@@ -902,18 +902,97 @@ def test_mesh_dispatch_noop_preserves_state(rng):
     assert sink.values.shape == (C, BLOCK * 2)
 
 
-def test_mesh_insert_width_changing_refused(rng):
-    """Width-changing live inserts stay refused on MESH lines (the
-    aggregated dispatch grid and per-stage shardings were fixed at
-    build); streaming lines accept them since r5 — README 'Surface
-    contracts'."""
-    C, BLOCK = 2, 588  # N_local=147 satisfies the resampler's shape rule,
-    # so the refusal reached is the width-change one, not the shape error
+def test_mesh_insert_width_changing_resampler_exact(rng):
+    """Width-changing live inserts now work on MESH lines too (r5): the
+    downstream allocators re-run at the new width on the SAME dispatch
+    grid/shardings, state carried where shapes match — here the sharded
+    FIR's halo tail continues exactly across the adoption. Landing is
+    chunk-exact and the whole output matches the float64 oracle
+    >= 100 dB."""
+    import threading
+
+    C, BLOCK = 2, 588  # n_local=147 satisfies the resampler's phase rule
+    N_CHUNKS = 10
+    N = N_CHUNKS * BLOCK
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    pos = [0]
+    target_queued = threading.Event()
+
+    def feed(n):
+        if pos[0] >= 2 * BLOCK:
+            target_queued.wait(60)
+        if pos[0] >= N:
+            return None
+        c = data[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = parallel.sharded.FIR(h)
+    rs = parallel.sharded.Resample(48000, 44100)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=lambda ctx, b: Source(
+                output=SignalProperties(44100.0, C), feed=feed
+            ),
+            processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+        mesh=parallel.make_mesh(1, 4),
+    )
+    p.start()
+    target = 4
+    hd = p.insert_processor(0, 0, rs.processor(), at_block=target)
+    le = p._exec_of_route[0]
+    deadline = time.time() + 60
+    while le._next_target(0) != target:
+        assert time.time() < deadline, "surgery target never delivered"
+        time.sleep(0.002)
+    target_queued.set()
+    assert hd.wait(60) and hd.error is None, hd.error
+    p.wait(120)
+
+    # oracle: raw to the cut, polyphase-resampled after (fresh resampler
+    # state at adoption), ONE continuous FIR (the sharded halo tail
+    # carries across the downstream re-allocation)
+    from pipe_tpu.ops.resample import polyphase_design
+
+    cut = target * BLOCK
+    L, M = 160, 147
+    hp64 = polyphase_design(L, M, 32)
+    K = hp64.shape[1]
+    tail = data.astype(np.float64)[:, cut:]
+    n_out = -(-tail.shape[1] * L // M)
+    j = np.arange(n_out)
+    p_, n0 = (j * M) % L, (j * M) // L
+    nidx = n0[:, None] - np.arange(K)[None, :]
+    valid = (nidx >= 0) & (nidx < tail.shape[1])
+    xg = np.where(valid[None], tail[:, np.clip(nidx, 0, tail.shape[1] - 1)], 0.0)
+    res = np.einsum("cok,ok->co", xg, hp64[p_])
+    stream = np.concatenate([data.astype(np.float64)[:, :cut], res], axis=1)
+    oracle = scipy.signal.lfilter(h, [1.0], stream, axis=1)
+    assert sink.values.shape == oracle.shape, (sink.values.shape, oracle.shape)
+    assert snr_db(oracle, sink.values) > 100
+
+
+def test_mesh_insert_width_changer_violating_shape_rule_refused(rng):
+    """A width-changing insert whose NEW width breaks a downstream
+    stage's shape rule on the mesh refuses loudly (re-aggregating
+    mid-run would change the at_block grid under the stream)."""
+    C, BLOCK = 2, 588
     src = mock.Source(channels=C, value=1.0, interval=0.002)
+    # downstream STFT sized for the 588 width; post-resample width 640
+    # breaks its grid on this mesh (window 147 does not divide 160)
+    sg = parallel.sharded.SpectralGain(147, 49)
     sink = mock.Sink(discard=True)
     p = pipe_tpu.Pipe(
         BLOCK,
-        pipe_tpu.Line(source=src.source(), sink=sink.sink()),
+        pipe_tpu.Line(
+            source=src.source(), processors=[sg.processor()],
+            sink=sink.sink(),
+        ),
         mesh=parallel.make_mesh(1, 4),
     )
     p.start()
@@ -921,7 +1000,7 @@ def test_mesh_insert_width_changing_refused(rng):
         0, 0, parallel.sharded.Resample(48000, 44100).processor()
     )
     assert h.wait(30)
-    assert h.error is not None and "MESH" in str(h.error), h.error
+    assert h.error is not None and "shape rule" in str(h.error), h.error
     p.stop(30)
 
 

@@ -358,8 +358,8 @@ def test_insert_width_changing_processor_live(rng):
     STREAMING line now succeeds (r5, VERDICT r4 item 5): the downstream
     allocators re-run at the new width at the adoption boundary. The
     stream keeps flowing afterwards; exact-landing parity is pinned in
-    test_block_mutations.py. (Mesh lines still refuse —
-    test_mesh_pipe.py.)"""
+    test_block_mutations.py. (Mesh lines accept fitting widths too and
+    refuse only on a downstream shape-rule break — test_mesh_pipe.py.)"""
     import time as _time
 
     import pipe_tpu
