@@ -86,32 +86,46 @@ def _step_gains(schedule, n_samples, block):
     return g
 
 
-def _randomized_soak(lookahead, batch_blocks, mesh=None, block=256):
+def _randomized_soak(lookahead, batch_blocks, mesh=None, block=256,
+                     chunky=False):
     """Seeded-random targeted mutations on two live params, neutral
     mid-stream surgery (insert + add_line), an EOF partial tail, and a
     full restart — checked against an exact float64 oracle. With ``mesh``
     the same scenario runs the sharded executor; a ``block`` that does
     not divide the time axis exercises the r4 aggregation path (targets
-    snap to the a-block grid)."""
+    snap to the a-block grid). ``chunky`` makes the feed return
+    random-length short reads (1..n frames per call — the reference's
+    accept-anything SourceFunc), stressing the r5 mesh re-chunking
+    against targets, held blocks, surgery, and restart."""
     from pipe_tpu import parallel
 
-    seed = 1000 + lookahead * 100 + batch_blocks + (7 if mesh else 0) + block
+    seed = (
+        1000 + lookahead * 100 + batch_blocks + (7 if mesh else 0) + block
+        + (13 if chunky else 0)
+    )
     r = np.random.default_rng(seed)
     BLOCK, n_blocks, tail, C = block, 1024, 73, 2
-    if mesh is not None:
-        tail = 0  # sharded chunks mask partials per-device; keep it simple
+    if mesh is not None and not chunky:
+        tail = 0  # legacy shape; the chunky variant also takes the
+        # partial EOF tail through the mesh path (r5 re-chunking)
     total = BLOCK * n_blocks + tail
     data = r.standard_normal((C, total)).astype(np.float32)
 
     gate = threading.Event()
     pos = [0]
+    # own RNG: the feed runs on the executor thread, concurrent with the
+    # schedule-building main thread (np Generators are not thread-safe)
+    r_feed = np.random.default_rng(seed + 1)
 
     def feed(n):
         gate.wait(60)
         if pos[0] >= total:
             return None
-        c = data[:, pos[0] : pos[0] + n]
-        pos[0] += n
+        take = n
+        if chunky:
+            take = min(int(r_feed.integers(1, n + 1)), total - pos[0])
+        c = data[:, pos[0] : pos[0] + take]
+        pos[0] += take
         return c
 
     def alloc(ctx, block):
@@ -247,6 +261,26 @@ def test_soak_randomized_on_aggregated_mesh():
     from pipe_tpu import parallel
 
     _randomized_soak(1, 1, mesh=parallel.make_mesh(2, 4), block=257)
+
+
+def test_soak_randomized_on_mesh_chunky_short_reads():
+    """The randomized scenario on a 2x4 mesh with a feed returning
+    random-length short reads (r5 re-chunking) AND a partial EOF tail:
+    residue parking must compose with targeted landings, held blocks,
+    surgery, and restart — exactly."""
+    from pipe_tpu import parallel
+
+    _randomized_soak(1, 4, mesh=parallel.make_mesh(2, 4), chunky=True)
+
+
+def test_soak_randomized_on_aggregated_mesh_chunky():
+    """Short-read re-chunking UNDER block aggregation (block 257 -> a=4):
+    the residue machinery assembles aggregated dispatch chunks from
+    arbitrary-length reads while targets land on the a-grid."""
+    from pipe_tpu import parallel
+
+    _randomized_soak(1, 1, mesh=parallel.make_mesh(2, 4), block=257,
+                     chunky=True)
 
 
 @pytest.mark.parametrize("batch_blocks", [1, 32])
