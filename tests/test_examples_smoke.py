@@ -22,12 +22,18 @@ EXAMPLES = os.path.join(
         ("sharded_flagship.py", "retuned threshold"),
         ("fm_receiver.py", "message correlation"),
         ("multihost_stream.py", "host 1: 200 chunks"),
+        ("odd_shapes_and_fusion.py", "SNR vs oracle"),
+        ("bursty_network_stream.py", "SNR vs float64 oracle"),
     ],
 )
 def test_example_runs(script, expect, tmp_path):
     env = {k: v for k, v in os.environ.items() if not k.startswith("JAX")}
     env["JAX_PLATFORMS"] = "cpu"
-    if script == "sharded_flagship.py":
+    if script in (
+        "sharded_flagship.py",
+        "odd_shapes_and_fusion.py",
+        "bursty_network_stream.py",
+    ):
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     if script == "multihost_stream.py":
         # self-launching 2-process demo: no --cpu flag, forces CPU itself
