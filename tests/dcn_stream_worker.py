@@ -172,6 +172,85 @@ def main():
             return
         raise AssertionError(f"proc {pid}: expected the run to fail")
 
+    if mode == "width_insert":
+        # r5 width-changing surgery across REAL processes: a 44.1k->48k
+        # resampler live-inserted into a running multi-process mesh line
+        # at an exact chunk (at_block required by the multi-host
+        # contract); every host re-runs its downstream allocators at the
+        # new width identically, the sharded FIR halo carries, and the
+        # recompiled step starts issuing its (new) collectives at the
+        # same chunk everywhere. CHUNK_W=1176 keeps n_local a multiple
+        # of 147 at 2 and 4 processes.
+        import threading as _threading
+        import time as _time
+
+        CHUNK_W, N_W = 1176, 24
+        rngw = np.random.default_rng(23)
+        dw = rngw.standard_normal((C, CHUNK_W * N_W)).astype(np.float32)
+        qw = [0]
+        gate = _threading.Event()
+
+        def feed_w(n):
+            if qw[0] >= 2 * CHUNK_W:
+                gate.wait(120)
+            if qw[0] >= dw.shape[1]:
+                return None
+            c = dw[:, qw[0] : qw[0] + n]
+            qw[0] += n
+            return c
+
+        fir_w = parallel.sharded.FIR(h1)
+        rs_w = parallel.sharded.Resample(48000, 44100)
+        sink_w = mock.Sink()
+        pw = pipe_tpu.Pipe(
+            CHUNK_W,
+            pipe_tpu.Line(
+                source=lambda ctx, b: Source(
+                    output=SignalProperties(44100.0, C), feed=feed_w
+                ),
+                processors=[fir_w.processor()],
+                sink=sink_w.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=8,
+        )
+        pw.start()
+        AT = 4
+        hdl = pw.insert_processor(0, 0, rs_w.processor(), at_block=AT)
+        le = pw._exec_of_route[0]
+        t0 = _time.time()
+        while le._next_target(0) != AT and _time.time() - t0 < 120:
+            _time.sleep(0.002)
+        gate.set()
+        pw.wait(600.0)
+        assert hdl.wait(10) and hdl.error is None, hdl.error
+
+        from pipe_tpu.ops.resample import polyphase_design
+
+        cut = AT * CHUNK_W
+        L, M = 160, 147
+        hp64 = polyphase_design(L, M, 32)
+        K = hp64.shape[1]
+        tail = dw.astype(np.float64)[:, cut:]
+        n_out = -(-tail.shape[1] * L // M)
+        jj = np.arange(n_out)
+        ph, n0 = (jj * M) % L, (jj * M) // L
+        nidx = n0[:, None] - np.arange(K)[None, :]
+        valid = (nidx >= 0) & (nidx < tail.shape[1])
+        xg = np.where(
+            valid[None], tail[:, np.clip(nidx, 0, tail.shape[1] - 1)], 0.0
+        )
+        res = np.einsum("cok,ok->co", xg, hp64[ph])
+        stream_o = np.concatenate(
+            [dw.astype(np.float64)[:, :cut], res], axis=1
+        )
+        oracle = scipy.signal.lfilter(h1, [1.0], stream_o, axis=1)
+        assert sink_w.values.shape == oracle.shape, sink_w.values.shape
+        snr = snr_db(oracle, sink_w.values)
+        assert snr > 100, f"host {pid}: {snr:.1f} dB"
+        print(f"width_insert proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
     if mode == "untargeted_eof":
         # r5 EOF audit: an untargeted batch still awaiting agreement when
         # the stream ENDS (too late for any health round to deliver it,

@@ -171,6 +171,29 @@ def test_two_host_multiline_pipe_with_targeted_surgery():
         assert f"multiline proc {pid} OK" in out
 
 
+def test_two_host_width_changing_insert():
+    """r5 width-changing surgery across REAL processes: a resampler
+    live-inserted at an exact chunk into a 2-process mesh line; the
+    downstream rebuild runs identically on both hosts, the sharded FIR
+    halo carries, >100 dB on both."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["width_insert"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"width_insert proc {pid} OK" in out
+
+
+def test_four_host_width_changing_insert():
+    """The same width-changing surgery at FOUR processes (1x8 time axis,
+    n_local=147): the re-allocation and the recompiled collective
+    sequence stay aligned across all four hosts."""
+    procs, outs = _run_workers(
+        "dcn_stream_worker.py", ["width_insert"], timeout=600, n_procs=4
+    )
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"width_insert proc {pid} OK" in out
+
+
 def test_two_host_checkpoint_resume():
     """Checkpoint/resume across a 2-process mesh: snapshot gathers the
     sharded state collectively, restore into a fresh mesh pipe, resumed
