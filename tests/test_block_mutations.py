@@ -318,6 +318,37 @@ def test_insert_width_changing_resampler_exact(rng):
     assert snr_db(oracle, sink.values) > 100
 
 
+def test_insert_width_changer_upstream_of_width_changer():
+    """A width-changing insert UPSTREAM of another width-changing stage:
+    the downstream rebuild threads out_capacity through the re-allocated
+    chain (the STFT is re-sized for the doubled input width, and the sink
+    for the STFT's new output width). Stream integrity + exact frame
+    accounting."""
+    src = mock.Source(channels=1, value=1.0, interval=0.004)
+    sg = ops.SpectralGain(240, 48)  # width-changing: 48 does not divide 256
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[sg.processor()],
+            sink=sink.sink(),
+        ),
+    )
+    p.start()
+    _wait_samples(sink, 2 * BLOCK)
+    target = p.block_index(0) + 6
+    hd = p.insert_processor(0, 0, ops.Resampler(2, 1).processor(), at_block=target)
+    assert hd.wait(60) and hd.error is None, hd.error
+    before = sink.samples
+    _wait_samples(sink, before + 8 * BLOCK)
+    p.stop(60)
+    v = sink.values
+    assert np.isfinite(v).all()
+    # steady state: constant input through unity STFT and a 2x resampler
+    # stays ~constant (filter design is unity-DC)
+    assert np.allclose(v[0, -2 * BLOCK :], v[0, -1], atol=1e-2)
+
+
 def test_insert_width_changing_carries_downstream_params():
     """A live retune pushed BEFORE a width-changing insert survives the
     downstream re-allocation: params carry per key onto the replacement

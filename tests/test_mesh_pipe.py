@@ -737,9 +737,10 @@ def test_mesh_pipe_checkpoint_r3_carries(rng):
 
 def test_mesh_pipe_checkpoint_r4_ring_carries(rng):
     """Checkpoint/restore covers the r4 TIME-SHARDED BLOCK RING delay
-    carries (P(ch, time) — both the pure multi-hop ring and the
-    free-feedback ring at D >= chunk): snapshot -> restore into a fresh
-    mesh pipe resumes the exact stream."""
+    carries (P(ch, time) — the pure multi-hop ring, the free-feedback
+    ring at D >= chunk, AND the r5 wave-DAG feedback ring at
+    n_local < D < chunk): snapshot -> restore into a fresh mesh pipe
+    resumes the exact stream."""
     from pipe_tpu import checkpoint
 
     C, BLOCK = 2, 4096
@@ -750,11 +751,15 @@ def test_mesh_pipe_checkpoint_r4_ring_carries(rng):
         pure = parallel.sharded.Delay(9000, wet=1.0, dry=0.5)  # D > 2*chunk
         echo = parallel.sharded.Delay(5000, feedback=0.5, wet=0.4,
                                       dry=1.0)  # ring feedback, D >= chunk
+        wave = parallel.sharded.Delay(2500, feedback=0.4, wet=0.3,
+                                      dry=1.0)  # wave-DAG: n_local < D < N
         return pipe_tpu.Pipe(
             BLOCK,
             pipe_tpu.Line(
                 source=feed_source(data_part, C),
-                processors=[pure.processor(), echo.processor()],
+                processors=[
+                    pure.processor(), echo.processor(), wave.processor()
+                ],
                 sink=sink.sink(),
             ),
             mesh=mesh,

@@ -746,6 +746,16 @@ def test_delay_block_ring_parity_2x4_mesh(rng):
     out = chain.process(x)
     sn = snr_db(_echo_oracle(x, D, fb, 0.8, 0.5), out)
     assert sn > 110, f"{sn:.1f} dB"
+    # wave-DAG feedback (r5): n_local=1024 < D=2500 < chunk=4096 on the
+    # CHANNEL-sharded mesh too (the wave fetches ride the time axis while
+    # channels shard orthogonally)
+    D, fb = 2500, 0.55
+    st = parallel.DelayStage(D, feedback=fb, wet=0.8, dry=0.5)
+    chain = parallel.ShardedChain(mesh, [st], channels=4, chunk_frames=chunk)
+    assert st._wave
+    out = chain.process(x)
+    sn = snr_db(_echo_oracle(x, D, fb, 0.8, 0.5), out)
+    assert sn > 110, f"wave 2x4: {sn:.1f} dB"
 
 
 def test_delay_contradictory_feedback_args_rejected():
