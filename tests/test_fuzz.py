@@ -322,6 +322,93 @@ def test_fuzz_weird_shape_mesh_lines(rng):
         )
 
 
+def test_fuzz_live_width_insert_knob_invariance(rng):
+    """r5 fuzz: a width-changing processor LIVE-INSERTED at a block
+    target produces the identical stream under different
+    lookahead/batch_blocks knobs — random base chains, insert kinds, and
+    positions. Pins both the deterministic landing and the exactness of
+    the downstream re-allocation + state carry."""
+    import threading
+    import time as _time
+
+    import pipe_tpu
+    from pipe_tpu import mock
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    BLOCK = 256
+    h = ops.design_lowpass(63, 5000, 44100)
+    sos = ops.design_peaking_eq(44100, freq=800, q=1.0, gain_db=2.0)
+    bases = [
+        lambda: [ops.FIR(h).processor()],
+        lambda: [ops.Gain(0.8).processor(), ops.FIR(h).processor()],
+        lambda: [ops.Biquad(sos).processor(), ops.Gain(1.1).processor()],
+    ]
+    inserts = [
+        lambda: ops.Resampler(2, 1),
+        lambda: ops.Resampler(160, 147),
+        lambda: ops.SpectralGain(240, 48),
+    ]
+    for case in range(3):
+        C = int(rng.integers(1, 3))
+        data = rng.standard_normal((C, BLOCK * 24 + 77)).astype(np.float32)
+        base = bases[int(rng.integers(0, len(bases)))]
+        mk_ins = inserts[int(rng.integers(0, len(inserts)))]
+        n_procs = len(base())
+        pos = int(rng.integers(0, n_procs + 1))
+        target = 5
+
+        def run(lookahead, batch_blocks):
+            fpos = [0]
+            gate = threading.Event()
+
+            def feed(n):
+                if fpos[0] >= 2 * BLOCK:
+                    gate.wait(60)
+                if fpos[0] >= data.shape[1]:
+                    return None
+                c = data[:, fpos[0] : fpos[0] + n]
+                fpos[0] += n
+                return c
+
+            sink = mock.Sink()
+            p = pipe_tpu.Pipe(
+                BLOCK,
+                pipe_tpu.Line(
+                    source=lambda ctx, b: Source(
+                        output=SignalProperties(44100.0, C), feed=feed
+                    ),
+                    processors=base(),
+                    sink=sink.sink(),
+                ),
+                lookahead=lookahead,
+                batch_blocks=batch_blocks,
+            )
+            p.start()
+            hd = p.insert_processor(
+                0, pos, mk_ins().processor(), at_block=target
+            )
+            le = p._exec_of_route[0]
+            deadline = _time.time() + 60
+            while le._next_target(0) != target:
+                assert _time.time() < deadline, "target never delivered"
+                _time.sleep(0.002)
+            gate.set()
+            assert hd.wait(60) and hd.error is None, hd.error
+            p.wait(120)
+            return sink.values
+
+        ya = run(1, 1)
+        yb = run(8, 8)
+        assert ya.shape == yb.shape, (
+            f"case {case}: pos {pos}: {ya.shape} vs {yb.shape}"
+        )
+        np.testing.assert_allclose(
+            ya, yb, atol=1e-6,
+            err_msg=f"case {case}: pos {pos} knobs (1,1) vs (8,8)",
+        )
+
+
 def test_fuzz_mixed_width_chain_block_invariance(rng):
     """r4: random chains through width-changing ops (STFT, resampler,
     gate) at two random block sizes produce the same stream — the
