@@ -821,56 +821,82 @@ class Pipe:
                     proc = allocate_processor(
                         proc_alloc, ctx, width, prev_props
                     )
-                rebuilt = None
-                if (
-                    proc.out_capacity is not None
-                    and proc.out_capacity != width
-                ):
-                    # The reference's InsertProcessor takes ANY allocator
-                    # (pipe.go:297-312) — its downstream re-points its
-                    # input and per-message buffers absorb the new width.
-                    # Our static shapes rebuild instead: re-run every
-                    # downstream allocator at the new width/properties
-                    # (control thread, like the original allocation); the
-                    # executor swaps them in at the block boundary,
-                    # carrying live state/params where shapes match. On a
-                    # mesh the rebuild keeps the EXISTING dispatch grid
-                    # and shardings — a new width that violates a
-                    # downstream stage's shape rule refuses loudly
-                    # (re-aggregating mid-run would change the at_block
-                    # grid under the stream; README 'Surface contracts').
-                    from pipe_tpu.errors import ShapeConstraintError
-
-                    w, pr = proc.out_capacity, proc.output
-                    try:
-                        with mesh_scope(self.mesh):
-                            new_after = []
-                            for i in range(pos, len(route.processors)):
-                                old = route.processors[i]
-                                rp = allocate_processor(
-                                    route.proc_allocs[i], old.context, w, pr
-                                )
-                                pr = rp.output
-                                if rp.out_capacity is not None:
-                                    w = rp.out_capacity
-                                new_after.append(rp)
-                            new_sink = allocate_sink(
-                                route.sink_alloc, route.sink.context, w, pr
-                            )
-                    except ShapeConstraintError as e:
-                        raise ValueError(
-                            "cannot live-insert this width-changing "
-                            f"processor: the new {proc.out_capacity}-frame "
-                            "block width violates a downstream stage's "
-                            f"shape rule on this MESH ({e}); build a new "
-                            "pipe (README 'Surface contracts')"
-                        ) from e
-                    rebuilt = (new_after, new_sink)
             except Exception as e:  # noqa: BLE001
                 handle._fail(e)
                 return
 
+            def build_rebuilt():
+                """Downstream rebuild for a width-changing insert — run at
+                the ADOPTION boundary (executor thread) against the LIVE
+                route, not in the control thread: a second surgery queued
+                behind an un-adopted first one would otherwise rebuild
+                from a stale processor list (r5 self-review).
+
+                The reference's InsertProcessor takes ANY allocator
+                (pipe.go:297-312) — its downstream re-points its input
+                and per-message buffers absorb the new width. Our static
+                shapes rebuild instead: re-run every downstream allocator
+                at the new width/properties; the executor swaps them in,
+                carrying live state/params where shapes match. On a mesh
+                the rebuild keeps the EXISTING dispatch grid and
+                shardings — a new width that violates a downstream
+                stage's shape rule refuses loudly via the handle (the
+                stream continues unchanged; re-aggregating mid-run would
+                change the at_block grid — README 'Surface contracts')."""
+                from pipe_tpu.errors import ShapeConstraintError
+
+                w, pr = proc.out_capacity, proc.output
+                try:
+                    with mesh_scope(self.mesh):
+                        new_after = []
+                        for i in range(pos, len(route.processors)):
+                            old = route.processors[i]
+                            rp = allocate_processor(
+                                route.proc_allocs[i], old.context, w, pr
+                            )
+                            pr = rp.output
+                            if rp.out_capacity is not None:
+                                w = rp.out_capacity
+                            new_after.append(rp)
+                        new_sink = allocate_sink(
+                            route.sink_alloc, route.sink.context, w, pr
+                        )
+                except ShapeConstraintError as e:
+                    raise ValueError(
+                        "cannot live-insert this width-changing "
+                        f"processor: the new {proc.out_capacity}-frame "
+                        "block width violates a downstream stage's "
+                        f"shape rule on this MESH ({e}); build a new "
+                        "pipe (README 'Surface contracts')"
+                    ) from e
+                return (new_after, new_sink)
+
             def adopt():
+                # the processor was allocated against the slot's
+                # width/properties at push time (reference semantics,
+                # pipe.go:314-333); if an earlier surgery changed the slot
+                # under us before this adoption, splicing the stale
+                # component would corrupt the stream — refuse cleanly
+                if (
+                    route.prev_capacity(pos, self._block_internal) != width
+                    or route.prev_props(pos) != prev_props
+                ):
+                    handle._fail(ValueError(
+                        "insert_processor raced an earlier surgery that "
+                        "changed this slot's input width/properties "
+                        "between allocation and adoption; wait for the "
+                        "first handle, then re-issue the insert"
+                    ))
+                    return
+                rebuilt = None
+                if proc.out_capacity is not None and proc.out_capacity != width:
+                    try:
+                        rebuilt = build_rebuilt()
+                    except Exception as e:  # noqa: BLE001
+                        # refusal, not failure: surface via the handle and
+                        # leave the running stream untouched
+                        handle._fail(e)
+                        return
                 try:
                     if proc.start is not None:
                         proc.start()

@@ -349,6 +349,86 @@ def test_insert_width_changer_upstream_of_width_changer():
     assert np.allclose(v[0, -2 * BLOCK :], v[0, -1], atol=1e-2)
 
 
+def test_insert_two_width_changers_queued_back_to_back():
+    """TWO width-changing inserts queued without waiting for each other:
+    the downstream rebuild runs at EACH adoption against the live route
+    (r5 self-review fix — a control-thread rebuild would use the stale
+    pre-first-adopt processor list), so both land and the stream keeps
+    flowing at the doubly-changed width."""
+    import threading
+
+    src = mock.Source(channels=1, value=1.0, interval=0.002)
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = ops.FIR(h)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    base = p.block_index(0)
+    # both at pos 0 (the source slot's width never changes), staggered
+    # targets: the SECOND rebuild must see the first resampler in the
+    # live route and re-size it for the doubled width
+    h1 = p.insert_processor(
+        0, 0, ops.Resampler(2, 1).processor(), at_block=base + 4
+    )
+    h2 = p.insert_processor(
+        0, 0, ops.Resampler(2, 1).processor(), at_block=base + 8
+    )
+    assert h1.wait(60) and h1.error is None, h1.error
+    assert h2.wait(60) and h2.error is None, h2.error
+    before = sink.samples
+    _wait_samples(sink, before + 8 * BLOCK)
+    p.stop(60)
+    v = sink.values[0]
+    assert np.isfinite(v).all()
+    # steady state: constant input through two unity-DC 2x resamplers and
+    # the FIR stays ~1.0 (both banks and the FIR are unity at DC)
+    assert np.allclose(v[-2 * BLOCK :], v[-1], atol=1e-2)
+
+
+def test_insert_raced_by_width_change_refuses_cleanly():
+    """An insert allocated for a slot whose input width an EARLIER
+    width-changing surgery then changed must refuse at adoption (the
+    stale component would corrupt the stream) — via the handle, leaving
+    the run alive."""
+    src = mock.Source(channels=1, value=1.0, interval=0.002)
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    fir = ops.FIR(h)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(), processors=[fir.processor()],
+            sink=sink.sink(),
+        ),
+    )
+    p.start()
+    _wait_samples(sink, BLOCK)
+    base = p.block_index(0)
+    h1 = p.insert_processor(
+        0, 0, ops.Resampler(2, 1).processor(), at_block=base + 4
+    )
+    # allocated NOW for slot 1 at the old width; by its adoption the
+    # resampler upstream has doubled the slot's width
+    h2 = p.insert_processor(
+        0, 1, ops.FIR(h).processor(), at_block=base + 8
+    )
+    assert h1.wait(60) and h1.error is None, h1.error
+    assert h2.wait(60)
+    assert h2.error is not None and "raced" in str(h2.error), h2.error
+    # the run survives the refusal
+    before = sink.samples
+    _wait_samples(sink, before + 4 * BLOCK)
+    p.stop(60)
+    assert np.isfinite(sink.values).all()
+
+
 def test_insert_width_changing_carries_downstream_params():
     """A live retune pushed BEFORE a width-changing insert survives the
     downstream re-allocation: params carry per key onto the replacement
