@@ -558,6 +558,14 @@ class Pipe:
         dispatching that block, splitting a ``batch_blocks`` dispatch at the
         boundary if needed (deterministic landing under any perf knobs).
 
+        Block-index coordinates under SHORT READS: on a streaming
+        (non-mesh) line every feed result is one dispatched block, so
+        ``at_block=k`` is the k-th SOURCE-BUFFER boundary — exactly the
+        reference's next-buffer coordinate (``pipe.go:381-413``) even
+        when buffers are short. On a mesh the executor re-chunks short
+        reads into full blocks, so ``at_block=k`` is always sample
+        ``k * block_size``.
+
         Single-process pipes are lenient: a target already passed applies
         at the next block — per line: in a multi-line sync group, a line
         whose batch had already dispatched past the target when the push

@@ -233,6 +233,54 @@ def test_insert_processor_at_block_exact(lookahead, batch_blocks):
     assert v[-1] == 2.0
 
 
+def test_streaming_at_block_counts_source_buffers_under_short_reads():
+    """Streaming (non-mesh) lines dispatch EVERY feed result as one
+    block, so ``at_block=k`` is the k-th SOURCE-BUFFER boundary — the
+    reference's next-buffer coordinate (pipe.go:381-413) even when
+    buffers are short. (The mesh engine re-chunks, so its at_block is
+    sample-uniform — README 'Surface contracts'.)"""
+    import threading
+
+    B = 384
+    r = np.random.default_rng(99)
+    reads = [int(r.integers(1, B + 1)) for _ in range(40)]
+    gate = threading.Event()
+    i = [0]
+
+    def feed(n):
+        gate.wait(30)
+        if i[0] >= len(reads):
+            return None
+        k = reads[i[0]]
+        i[0] += 1
+        return np.ones((1, k), np.float32)
+
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    gain = ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        B,
+        pipe_tpu.Line(
+            source=lambda ctx, b: Source(
+                output=SignalProperties(44100.0, 1), feed=feed
+            ),
+            processors=[gain.processor()],
+            sink=sink.sink(),
+        ),
+    )
+    p.start()
+    p.push(gain.set_gain(0.5), at_block=5)
+    time.sleep(0.3)  # control thread delivers while the gate pins block 0
+    gate.set()
+    p.wait(60)
+    v = sink.values[0]
+    sw = np.where(np.diff(v) != 0)[0]
+    assert v.shape[0] == sum(reads)
+    assert len(sw) == 1 and sw[0] + 1 == sum(reads[:5])
+
+
 def test_insert_width_changing_resampler_exact(rng):
     """Live insert of a RESAMPLER (out_capacity != input width) into a
     running streaming line (r4 VERDICT item 5): the downstream allocators
