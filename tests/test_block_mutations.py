@@ -508,6 +508,43 @@ def test_insert_width_changing_carries_downstream_params():
     assert np.allclose(v[-4 * BLOCK :], 0.5, atol=1e-3), v[-8:]
 
 
+def test_insert_width_changer_into_optimized_line_retunes_survive():
+    """optimize=True lines store the FUSED allocators on the route, so a
+    width-changing insert re-runs the fused stages at the new width —
+    and a retune pushed through an ORIGINAL (pre-fusion) object after
+    the insert still lands via its delegate."""
+    src = mock.Source(channels=1, value=1.0, interval=0.003)
+    h = np.asarray(ops.design_lowpass(63, 4000, 44100))
+    f1, f2 = ops.FIR(h), ops.FIR(h)  # optimize fuses into one cascade
+    g = ops.Gain(1.0)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=src.source(),
+            processors=[f1.processor(), f2.processor(), g.processor()],
+            sink=sink.sink(),
+        ),
+        optimize=True,
+    )
+    p.start()
+    _wait_samples(sink, 2 * BLOCK)
+    target = p.block_index(0) + 6
+    hd = p.insert_processor(0, 0, ops.Resampler(2, 1).processor(), at_block=target)
+    assert hd.wait(60) and hd.error is None, hd.error
+    before = sink.samples
+    _wait_samples(sink, before + 6 * BLOCK)
+    # the retune through the ORIGINAL object must land on the re-allocated
+    # fused cascade (delegate survives the rebuild)
+    p.push(f2.set_taps(h * 0.5))
+    _wait_samples(sink, sink.samples + 6 * BLOCK)
+    p.stop(60)
+    v = sink.values[0]
+    assert np.isfinite(v).all()
+    # DC gain halves after the retune: steady tail at ~0.5
+    assert np.allclose(v[-2 * BLOCK :], 0.5, atol=1e-2), v[-4:]
+
+
 def test_stale_target_does_not_fire_into_next_stream():
     """A restarted pipe is a NEW stream (reference pipe_test.go:108-131):
     an at_block push the previous stream never reached (it was stopped
