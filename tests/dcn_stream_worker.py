@@ -172,6 +172,59 @@ def main():
             return
         raise AssertionError(f"proc {pid}: expected the run to fail")
 
+    if mode == "stream_chunky":
+        # r5 short-read re-chunking over REAL processes: both hosts feed
+        # the same stream in the same random-length pieces (deterministic
+        # seeded lengths — the symmetric-stream contract), the executor
+        # re-chunks them into full mesh dispatch chunks, a targeted
+        # retune lands on the same sample everywhere, partial EOF tail
+        # included.
+        N_C = 200
+        rngc = np.random.default_rng(77)
+        dlen = CHUNK * N_C + 333  # partial final chunk
+        dc = rngc.standard_normal((C, dlen)).astype(np.float32)
+        qc = [0]
+        r_len = np.random.default_rng(78)  # identical on every host
+
+        def feed_c2(n):
+            if qc[0] >= dlen:
+                return None
+            take = min(int(r_len.integers(1, n + 1)), dlen - qc[0])
+            c = dc[:, qc[0] : qc[0] + take]
+            qc[0] += take
+            return c
+
+        fir_c2 = parallel.sharded.FIR(h1)
+        sink_c2 = mock.Sink()
+        pc2 = pipe_tpu.Pipe(
+            CHUNK,
+            pipe_tpu.Line(
+                source=lambda ctx, b: Source(
+                    output=SignalProperties(44100.0, C), feed=feed_c2
+                ),
+                processors=[fir_c2.processor()],
+                sink=sink_c2.sink(),
+            ),
+            mesh=mesh,
+            host_sync_every=16,
+        )
+        pc2.start()
+        SW = N_C // 2
+        pc2.push(fir_c2.set_taps(h2), at_block=SW)
+        pc2.wait(600.0)
+
+        out = sink_c2.values
+        assert out.shape == dc.shape, out.shape
+        x64 = dc.astype(np.float64)
+        y1 = scipy.signal.lfilter(h1, [1.0], x64, axis=1)
+        y2 = scipy.signal.lfilter(h2, [1.0], x64, axis=1)
+        s = SW * CHUNK
+        oracle = np.concatenate([y1[:, :s], y2[:, s:]], axis=1)
+        snr = snr_db(oracle, out)
+        assert snr > 100, f"host {pid}: SNR {snr:.1f} dB"
+        print(f"stream_chunky proc {pid} OK {snr:.1f} dB", flush=True)
+        return
+
     if mode == "width_insert":
         # r5 width-changing surgery across REAL processes: a 44.1k->48k
         # resampler live-inserted into a running multi-process mesh line

@@ -171,6 +171,18 @@ def test_two_host_multiline_pipe_with_targeted_surgery():
         assert f"multiline proc {pid} OK" in out
 
 
+def test_two_host_short_read_rechunking():
+    """r5 short-read re-chunking under the multi-host symmetric-stream
+    contract: both hosts feed random-length pieces (identical seeded
+    lengths), the executor re-chunks them into aligned mesh dispatch
+    chunks, a targeted retune lands on the same sample everywhere,
+    partial EOF tail included; >100 dB on both hosts."""
+    procs, outs = _run_workers("dcn_stream_worker.py", ["stream_chunky"])
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"stream_chunky proc {pid} OK" in out
+
+
 def test_two_host_width_changing_insert():
     """r5 width-changing surgery across REAL processes: a resampler
     live-inserted at an exact chunk into a 2-process mesh line; the
