@@ -84,6 +84,114 @@ def test_checkpoint_roundtrip_resumes_stream(tmp_path, rng):
     np.testing.assert_allclose(got, sink_full.values, atol=1e-6)
 
 
+def test_checkpoint_after_width_changing_surgery(rng):
+    """A pipe modified by a width-changing LIVE INSERT snapshots into a
+    checkpoint that restores into a pipe BUILT with the final graph: the
+    surgically-grown route's state trees match the fresh build's, so the
+    resumed stream continues exactly (the surgery x checkpoint cross
+    product, r5)."""
+    import threading
+    import time as _time
+
+    from pipe_tpu import checkpoint
+    from pipe_tpu.components import Source
+    from pipe_tpu.signal import SignalProperties
+
+    B = 256
+    h = ops.design_lowpass(63, cutoff=4000, sample_rate=44100)
+    x = rng.standard_normal((2, B * 16)).astype(np.float32)
+    half = B * 8
+
+    # phase 1: stream the first half; a resampler is live-inserted at
+    # block 4 (width-changing: downstream FIR re-allocated, tail carried)
+    pos = [0]
+    gate = threading.Event()
+
+    def feed_a(n):
+        if pos[0] >= 2 * B:
+            gate.wait(60)
+        if pos[0] >= half:
+            return None
+        c = x[:, pos[0] : pos[0] + n]
+        pos[0] += n
+        return c
+
+    fir_a = ops.FIR(h)
+    sink_a = mock.Sink()
+    pa = pipe_tpu.Pipe(
+        B,
+        pipe_tpu.Line(
+            source=lambda ctx, b: Source(
+                output=SignalProperties(44100.0, 2), feed=feed_a
+            ),
+            processors=[fir_a.processor()],
+            sink=sink_a.sink(),
+        ),
+    )
+    pa.start()
+    hd = pa.insert_processor(0, 0, ops.Resampler(2, 1).processor(), at_block=4)
+    le = pa._exec_of_route[0]
+    deadline = _time.time() + 60
+    while le._next_target(0) != 4:
+        assert _time.time() < deadline
+        _time.sleep(0.002)
+    gate.set()
+    assert hd.wait(60) and hd.error is None, hd.error
+    pa.wait(60)
+    ck = checkpoint.snapshot(pa)
+
+    # phase 2: a FRESH pipe built with the post-surgery graph; restore
+    # and stream the second half — tails and resampler phase continue
+    pos2 = [0]
+
+    def feed_b(n):
+        if pos2[0] >= half:
+            return None
+        c = x[:, half + pos2[0] : half + pos2[0] + n]
+        pos2[0] += n
+        return c
+
+    fir_b = ops.FIR(h)
+    sink_b = mock.Sink()
+    pb = pipe_tpu.Pipe(
+        B,
+        pipe_tpu.Line(
+            source=lambda ctx, b: Source(
+                output=SignalProperties(44100.0, 2), feed=feed_b
+            ),
+            processors=[ops.Resampler(2, 1).processor(), fir_b.processor()],
+            sink=sink_b.sink(),
+        ),
+    )
+    checkpoint.restore(pb, ck)
+    pb.start()
+    pb.wait(60)
+
+    got = np.concatenate([sink_a.values, sink_b.values], axis=1)
+    # oracle: raw to the cut (block 4), 2x-resampled after, one
+    # continuous FIR over the stitched stream
+    from pipe_tpu.ops.resample import polyphase_design
+    import scipy.signal
+
+    cut = 4 * B
+    hp64 = polyphase_design(2, 1, 32)
+    K = hp64.shape[1]
+    tail = x.astype(np.float64)[:, cut:]
+    n_out = 2 * tail.shape[1]
+    j = np.arange(n_out)
+    ph, n0 = j % 2, j // 2
+    nidx = n0[:, None] - np.arange(K)[None, :]
+    valid = (nidx >= 0) & (nidx < tail.shape[1])
+    xg = np.where(valid[None], tail[:, np.clip(nidx, 0, tail.shape[1] - 1)], 0.0)
+    res = np.einsum("cok,ok->co", xg, hp64[ph])
+    stream = np.concatenate([x.astype(np.float64)[:, :cut], res], axis=1)
+    oracle = scipy.signal.lfilter(np.asarray(h), [1.0], stream, axis=1)
+    assert got.shape == oracle.shape, (got.shape, oracle.shape)
+    from pipe_tpu.signal import snr_db
+
+    assert snr_db(oracle, got) > 100
+
+
 def test_checkpoint_rejects_mismatch(rng):
     src = mock.Source(value=1.0, channels=1, limit=64)
     sink = mock.Sink(discard=True)
