@@ -1058,6 +1058,42 @@ def test_mesh_midstream_short_reads_rechunked(rng):
     assert snr_db(oracle, sink.values) > 100
 
 
+def test_mesh_feed_over_returning_packets(rng):
+    """A feed that IGNORES the requested count and returns fixed
+    700-frame packets (more than asked, the other direction of the
+    short-read contract): the re-chunker parks the surplus and splits it
+    across block boundaries — exact, partial final chunk included."""
+    C, BLOCK = 2, 512
+    N = 700 * 11  # not a BLOCK multiple
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    pos = [0]
+
+    def feed(n):
+        if pos[0] >= N:
+            return None
+        c = data[:, pos[0] : pos[0] + 700]
+        pos[0] += c.shape[1]
+        return c
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+    h = np.asarray(ops.design_lowpass(63, 3000, 44100))
+    fir = parallel.sharded.FIR(h)
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(
+            source=alloc, processors=[fir.processor()], sink=sink.sink()
+        ),
+        mesh=parallel.make_mesh(1, 4),
+    )
+    run_pipe(p)
+    assert sink.values.shape == (C, N)
+    oracle = scipy.signal.lfilter(h, [1.0], data.astype(np.float64), axis=1)
+    assert snr_db(oracle, sink.values) > 100
+
+
 def test_mesh_short_reads_batched_with_target(rng):
     """Short-read re-chunking composes with dispatch batching AND exact
     mutation landing: under batch_blocks=4 a retune pushed at a block
