@@ -1094,6 +1094,39 @@ def test_mesh_feed_over_returning_packets(rng):
     assert snr_db(oracle, sink.values) > 100
 
 
+def test_mesh_feed_empty_reads_skipped(rng):
+    """Zero-length reads (a non-blocking source with nothing ready) are
+    skipped by the re-chunker — the feed is simply asked again; stream
+    content is unaffected."""
+    C, BLOCK = 1, 512
+    N = BLOCK * 3 + 100
+    data = rng.standard_normal((C, N)).astype(np.float32)
+    pos, call = [0], [0]
+
+    def feed(n):
+        call[0] += 1
+        if call[0] % 3 == 0:
+            return np.zeros((C, 0), np.float32)  # nothing ready yet
+        if pos[0] >= N:
+            return None
+        c = data[:, pos[0] : pos[0] + min(n, 300)]
+        pos[0] += c.shape[1]
+        return c
+
+    def alloc(ctx, block):
+        return Source(output=SignalProperties(44100.0, C), feed=feed)
+
+    sink = mock.Sink()
+    p = pipe_tpu.Pipe(
+        BLOCK,
+        pipe_tpu.Line(source=alloc, sink=sink.sink()),
+        mesh=parallel.make_mesh(1, 4),
+    )
+    run_pipe(p)
+    assert sink.values.shape == (C, N)
+    np.testing.assert_allclose(sink.values, data, atol=0)
+
+
 def test_mesh_short_reads_batched_with_target(rng):
     """Short-read re-chunking composes with dispatch batching AND exact
     mutation landing: under batch_blocks=4 a retune pushed at a block
